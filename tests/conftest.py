@@ -1,0 +1,43 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on a fake 8-device CPU platform (the driver separately
+dry-run-compiles the multi-chip path via __graft_entry__.py).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize pre-registers the remote TPU ("axon")
+# backend and overrides jax_platforms, so the env var alone is not
+# enough — force the config back to CPU before any backend is used.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.RandomState(1234)
+
+
+@pytest.fixture(scope="session")
+def tiny_smpl():
+    """Small synthetic SMPL model for fast unit tests."""
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    return make_synthetic_smpl(num_vertices=512, seed=0)
+
+
+@pytest.fixture(scope="session")
+def full_smpl():
+    """Full-size synthetic SMPL model (6890 verts)."""
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    return make_synthetic_smpl(seed=0)
