@@ -1,0 +1,666 @@
+"""Two-stage space-time SMPL sequence optimizer — the heart.
+
+Capability parity with the reference `SMPLDepthSequenceOptimizer`
+(optimizer.py:146-770): stage init solves per-frame 3D root
+translations from weighted 2D reprojection (optimizer.py:710-770);
+stage 1 jointly optimizes {per-frame root translations, SMPL pose
+parameters, time-shared betas, per-frame disparity de-normalization
+bounds, per-person log-1.1 scales} against 2D-joint, rendered-depth,
+occlusion-ordered silhouette, velocity, filtered-vertex smoothness,
+reference-pose/beta, scale, scene-contact and foot-sliding losses
+(optimizer.py:324-602), rebuilding a median static scene point cloud
+as it converges.
+
+TPU-first redesign (vs. the reference's epoch-of-batches loop with
+dozens of host<->device syncs per cycle, survey §3.1 hot loop B):
+  * one optimization cycle == ONE jitted program: a `lax.scan` over
+    fixed-size frame chunks accumulates the per-frame losses (SMPL
+    forward + crop-window rasterization per chunk, rematerialized
+    under AD), temporal terms couple chunks through 1-frame halos, and
+    a single full-batch optax update replaces per-batch gradient
+    accumulation;
+  * frames are processed in order (the reference shuffles batches,
+    which only reorders the accumulation of the same epoch gradient —
+    and makes its foot-sliding/silhouette 'adjacent' frames random;
+    ordered chunks make those terms genuinely temporal);
+  * the scene median depth, its postprocess, the point cloud, and the
+    One-Euro filtered targets are computed on-device in separate
+    jitted updates (the reference does all of this on the CPU every
+    cycle);
+  * all arrays are padded to a chunk multiple with a frame-validity
+    mask, keeping shapes static for XLA; the time axis is the sharding
+    axis for multi-chip execution (see parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+from ..models.smpl import SMPLModel, smpl_forward
+from ..ops.cameras import project_points, softplus
+from ..ops.morphology import erode
+from ..ops.one_euro import one_euro_init, one_euro_step
+from ..ops.rasterizer import RasterSettings, rasterize_bodies
+from .losses import masked_mse_loss
+from .scene import (ScenePointCloud, aggregate_scene_depth,
+                    build_scene_pointcloud, contact_targets,
+                    denormalize_disparity)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# Containers
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Static configuration (hashable -> usable as a jit static arg)."""
+
+    image_size: Tuple[int, int]          # (W, H)
+    num_people: int
+    num_frames: int                      # real T (before padding)
+    chunk: int = 16                      # frames per scan step
+    window: int = 128                    # raster crop window
+    face_chunk: int = 128
+    joint_confidence_thr: float = 0.5
+    eps: float = 1e-3
+    znear: float = 1.0
+    zfar: float = 100.0
+    min_delta_z: float = 1.0             # optimizer.py:256
+    batch_size_ref: int = 10             # reference batch for scale-reg
+    knn: int = 32
+    contact_offset: float = 0.02
+    contact_thr: float = 0.20
+    frame_rate: float = 25.0
+    min_cutoff1: float = 0.01            # poses_T filter (fit args)
+    beta1: float = 0.02
+    min_cutoff2: float = 0.001           # verts filter
+    beta2: float = 0.5
+    update_filters_every: int = 25
+    warmup_cycles: int = 30              # scene/filters start cycle
+    scene_update_every: int = 1
+    cam_dist_coef: Optional[Tuple[float, ...]] = None
+
+    @property
+    def padded_frames(self) -> int:
+        c = self.chunk
+        return ((self.num_frames + c - 1) // c) * c
+
+    @property
+    def num_chunks(self) -> int:
+        return self.padded_frames // self.chunk
+
+    @property
+    def raster_settings(self) -> RasterSettings:
+        return RasterSettings(
+            image_size=self.image_size, window=self.window,
+            face_chunk=self.face_chunk, znear=self.znear, zfar=self.zfar)
+
+
+class StageParams(NamedTuple):
+    """Optimized variables (optimizer.py:262-321). Tp = padded T."""
+
+    poses_T: jax.Array      # (Tp, N, 1, 3)
+    poses_smpl: jax.Array   # (Tp, N, 72)
+    betas: jax.Array        # (1, N, 10) shared over time
+    zmin_lin: jax.Array     # (Tp, 1, 1) pre-softplus scene near bound
+    zmax_lin: jax.Array     # (Tp, 1, 1) pre-softplus scene range
+    xscale: jax.Array       # (1, N, 1, 1) log_1.1 per-person scale
+
+
+class SeqData(NamedTuple):
+    """Per-sequence device data (padded to Tp frames)."""
+
+    depths: jax.Array       # (Tp, H, W) f32 normalized disparity
+    seg_mask: jax.Array     # (Tp, N, H, W) bool
+    backmask: jax.Array     # (Tp, H, W) bool
+    pose2d: jax.Array       # (Tp, N, 17, 3)
+    poses_smpl_ref: jax.Array  # (Tp, N, 72)
+    valid_smpl: jax.Array   # (Tp, N, 1) thresholded > 0.7
+    frame_valid: jax.Array  # (Tp,)
+    cam_K: jax.Array        # (3, 3)
+
+
+class StageAux(NamedTuple):
+    """Non-optimized cycle state."""
+
+    betas_ref: jax.Array            # (1, N, 10)
+    scene: ScenePointCloud
+    have_scene: jax.Array           # () 0/1
+    verts_filt_diff: jax.Array      # (Tp, N, V, 3) bf16 targets
+    have_filters: jax.Array         # () 0/1
+
+
+def default_coefs() -> Dict[str, float]:
+    """Loss coefficients as in configs/predict_mupots.yml:17-25."""
+    return {
+        "proj2d": 1.0, "depth": 0.05, "silhouette": 0.1,
+        "reg_poses": 0.002, "reg_scales": 1e-4, "reg_velocity": 0.05,
+        "reg_verts_filter": 0.002, "reg_contact": 0.001,
+        "reg_foot_sliding": 0.01,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Data preparation
+# ---------------------------------------------------------------------------
+
+def _pad_t(x: np.ndarray, tp: int) -> np.ndarray:
+    pad = tp - x.shape[0]
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], 0)
+
+
+def prepare_seq_data(seq, cfg: EngineConfig) -> SeqData:
+    """SequenceArrays (host) -> SeqData (device, padded)."""
+    tp = cfg.padded_frames
+    frame_valid = np.zeros((tp,), np.float32)
+    frame_valid[:cfg.num_frames] = 1.0
+    return SeqData(
+        depths=jnp.asarray(_pad_t(seq.depths.astype(np.float32), tp)),
+        seg_mask=jnp.asarray(_pad_t(seq.seg_mask > 0.5, tp)),
+        backmask=jnp.asarray(_pad_t(seq.backmasks > 0.5, tp)),
+        pose2d=jnp.asarray(_pad_t(seq.pose2d.astype(np.float32), tp)),
+        poses_smpl_ref=jnp.asarray(
+            _pad_t(seq.poses_smpl.astype(np.float32), tp)),
+        valid_smpl=jnp.asarray(
+            _pad_t((seq.valid_smpl > 0.7).astype(np.float32), tp)),
+        frame_valid=jnp.asarray(frame_valid),
+        cam_K=jnp.asarray(seq.cam["K"].astype(np.float32)),
+    )
+
+
+def empty_scene(cfg: EngineConfig) -> ScenePointCloud:
+    W, H = cfg.image_size
+    return ScenePointCloud(
+        points=jnp.zeros((H * W, 3), jnp.float32),
+        valid=jnp.zeros((H * W,), bool),
+        depth=jnp.zeros((H, W), jnp.float32),
+        depth_valid=jnp.zeros((H, W), bool))
+
+
+def init_aux(cfg: EngineConfig, num_vertices: int,
+             betas_ref: jax.Array) -> StageAux:
+    tp, n = cfg.padded_frames, cfg.num_people
+    return StageAux(
+        betas_ref=betas_ref,
+        scene=empty_scene(cfg),
+        have_scene=jnp.zeros(()),
+        verts_filt_diff=jnp.zeros((tp, n, num_vertices, 3),
+                                  jnp.bfloat16),
+        have_filters=jnp.zeros(()))
+
+
+# ---------------------------------------------------------------------------
+# Stage init: per-frame global translation solve (optimizer.py:710-770)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("num_iter", "joints_thr"))
+def init_global_poses(
+    model: SMPLModel,
+    pose2d: jax.Array,          # (T, N, 17, 3) with confidence
+    poses_smpl: jax.Array,      # (T, N, 72)
+    betas_smpl: jax.Array,      # (T, N, 10)
+    cam_K: jax.Array,           # (3, 3)
+    image_size: Tuple[int, int],
+    xscale: jax.Array,          # (1, N, 1, 1)
+    proj2d_coef: float = 1.0,
+    reg_velocity_coef: float = 0.05,
+    num_iter: int = 100,
+    joints_thr: float = 0.15,
+):
+    """Solve per-frame 3D root translations by minimizing weighted 2D
+    reprojection with Adam(0.5, betas=(0.5, 0.5)) + exp(0.95) decay.
+
+    The SMPL joints do not depend on poses_T, so (unlike the reference,
+    which re-runs SMPL every iteration) the forward pass is hoisted out
+    of the loop — the iteration is a pure projection solve.
+    Returns (poses_T (T, N, 1, 3), loss_2d history (num_iter,)).
+    """
+    T, N = pose2d.shape[:2]
+    out = smpl_forward(model, betas_smpl.reshape(T * N, -1),
+                       poses_smpl.reshape(T * N, -1))
+    joints = out["joints_alphapose"].reshape(T, N, -1, 3)
+    scale = jnp.power(1.1, xscale)
+    joints = scale * joints                       # (T, N, 17, 3)
+
+    vis = (pose2d[..., 2:] > joints_thr).astype(jnp.float32)
+    gt2d = pose2d[..., 0:2]
+
+    sched = optax.exponential_decay(0.5, 1, 0.95)
+    opt = optax.adam(sched, b1=0.5, b2=0.5, eps=1e-6)
+
+    def loss_fn(poses_T):
+        p3d = joints + poses_T
+        proj = project_points(p3d, cam_K)
+        loss_2d = jnp.mean(jnp.square(vis * proj - vis * gt2d))
+        speed = jnp.sum(jnp.square(poses_T[1:] - poses_T[:-1]))
+        return proj2d_coef * loss_2d + reg_velocity_coef * speed, loss_2d
+
+    poses_T0 = jnp.tile(jnp.asarray([[[[0.0, 0.0, 1.0]]]]), (T, N, 1, 1))
+
+    def step(carry, _):
+        poses_T, opt_state = carry
+        (_, l2d), g = jax.value_and_grad(loss_fn, has_aux=True)(poses_T)
+        updates, opt_state = opt.update(g, opt_state, poses_T)
+        poses_T = optax.apply_updates(poses_T, updates)
+        return (poses_T, opt_state), l2d
+
+    (poses_T, _), hist = lax.scan(
+        step, (poses_T0, opt.init(poses_T0)), None, length=num_iter)
+    return poses_T, hist
+
+
+def init_params(
+    model: SMPLModel,
+    data_pose2d: np.ndarray,      # (T, N, 17, 3) unpadded
+    data_poses_smpl: np.ndarray,  # (T, N, 72)
+    data_betas_smpl: np.ndarray,  # (T, N, 10)
+    cam_K: np.ndarray,
+    cfg: EngineConfig,
+    scale_factor: Optional[np.ndarray] = None,
+    num_iter: int = 100,
+):
+    """Build initial StageParams (optimizer.py:262-321). Returns
+    (params, init_log, optimize_scale: bool)."""
+    T, N = data_pose2d.shape[:2]
+    if scale_factor is not None:
+        xscale = (np.log(scale_factor) / np.log(1.1)).astype(np.float32)
+        xscale = jnp.asarray(xscale[None, :, None, None])
+        optimize_scale = False
+    else:
+        xscale = jnp.zeros((1, N, 1, 1))
+        optimize_scale = True
+
+    poses_T, hist = init_global_poses(
+        model, jnp.asarray(data_pose2d), jnp.asarray(data_poses_smpl),
+        jnp.asarray(data_betas_smpl), jnp.asarray(cam_K),
+        cfg.image_size, xscale, num_iter=num_iter)
+    poses_T = np.asarray(poses_T)
+
+    max_z = np.clip(np.max(poses_T[..., 2:], axis=1), 2, None)  # (T,1,1)
+    avg_betas = np.mean(data_betas_smpl, axis=0, keepdims=True)
+
+    tp = cfg.padded_frames
+    params = StageParams(
+        poses_T=jnp.asarray(_pad_t(poses_T.astype(np.float32), tp)),
+        poses_smpl=jnp.asarray(
+            _pad_t(data_poses_smpl.astype(np.float32), tp)),
+        betas=jnp.asarray(avg_betas.astype(np.float32)),
+        zmin_lin=jnp.asarray(_pad_t(np.ones_like(max_z, np.float32), tp)),
+        zmax_lin=jnp.asarray(_pad_t((2.0 * max_z).astype(np.float32), tp)),
+        xscale=xscale,
+    )
+    return params, np.asarray(hist), optimize_scale
+
+
+# ---------------------------------------------------------------------------
+# Derived quantities
+# ---------------------------------------------------------------------------
+
+def scale_factor_of(params: StageParams) -> jax.Array:
+    return jnp.power(1.1, params.xscale)
+
+
+def z_bounds_of(params: StageParams, cfg: EngineConfig):
+    """(min_z, max_z) (Tp, 1, 1); max_z = sg(min_z) + dz + sp(zmax_lin)
+    (optimizer.py:683-688)."""
+    min_z = softplus(params.zmin_lin)
+    max_z = (lax.stop_gradient(min_z) + cfg.min_delta_z
+             + softplus(params.zmax_lin))
+    return min_z, max_z
+
+
+def _smpl_bodies(model, params_chunk_poses, betas, scale, poses_T):
+    """SMPL forward for a (F, N) block; returns absolute verts/joints.
+
+    params_chunk_poses: (F, N, 72); betas (1, N, 10); poses_T (F,N,1,3).
+    """
+    F, N = params_chunk_poses.shape[:2]
+    out = smpl_forward(
+        model,
+        jnp.broadcast_to(betas, (F, N, 10)).reshape(F * N, 10),
+        params_chunk_poses.reshape(F * N, 72))
+    verts = out["verts"].reshape(F, N, -1, 3)
+    joints = out["joints_alphapose"].reshape(F, N, -1, 3)
+    verts_abs = scale * verts + poses_T
+    joints_abs = scale * joints + poses_T
+    return verts_abs, joints_abs
+
+
+def _gather_windows(imgs, origins, win):
+    """imgs: (C, N, H, W) [or broadcastable], origins: (C, N, 2) ->
+    (C, N, win, win) crops."""
+    def one(img, o):
+        return lax.dynamic_slice(img, (o[1], o[0]), (win, win))
+    return jax.vmap(jax.vmap(one))(imgs, origins)
+
+
+# ---------------------------------------------------------------------------
+# The per-chunk loss (scanned; rematerialized under AD)
+# ---------------------------------------------------------------------------
+
+LOG_KEYS = ("loss_pose24j", "loss_depth", "loss_silhouette",
+            "reg_ref_poses", "reg_scale", "reg_contact",
+            "reg_foot_sliding", "reg_vel", "reg_filter_verts")
+
+
+def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
+                aux: StageAux, coefs: Dict[str, jax.Array],
+                cfg: EngineConfig, chunk_idx):
+    """Loss of one frame chunk [t0, t0+C) with a 1-frame halo for the
+    temporal couplings. Returns (scalar loss, parts dict)."""
+    C = cfg.chunk
+    N = cfg.num_people
+    W, H = cfg.image_size
+    t0 = chunk_idx * C
+    halo_idx = jnp.clip(t0 - 1 + jnp.arange(C + 1), 0, None)
+
+    take = lambda arr: jnp.take(arr, halo_idx, axis=0)
+    takec = lambda arr: lax.dynamic_slice_in_dim(arr, t0, C, axis=0)
+
+    poses_T_h = take(params.poses_T)              # (C+1, N, 1, 3)
+    poses_smpl_h = take(params.poses_smpl)        # (C+1, N, 72)
+    scale = scale_factor_of(params)
+    min_z, max_z = z_bounds_of(params, cfg)
+    min_z_c, max_z_c = takec(min_z), takec(max_z)
+
+    depths_c = takec(data.depths)                 # (C, H, W)
+    seg_c = takec(data.seg_mask).astype(jnp.float32)   # (C, N, H, W)
+    pose2d_c = takec(data.pose2d)
+    ref_poses_c = takec(data.poses_smpl_ref)
+    valid_smpl_c = takec(data.valid_smpl)
+    frame_valid_h = take(data.frame_valid)        # (C+1,)
+    frame_valid_c = frame_valid_h[1:]
+    # pair (t-1, t) valid: both frames real and t > 0 globally
+    global_t = t0 + jnp.arange(C)
+    pair_valid = (frame_valid_h[:-1] * frame_valid_c
+                  * (global_t > 0))               # (C,)
+
+    verts_abs_h, joints_abs_h = _smpl_bodies(
+        model, poses_smpl_h, params.betas, scale, poses_T_h)
+    verts_abs = verts_abs_h[1:]                   # (C, N, V, 3)
+    joints_abs = joints_abs_h[1:]
+
+    # --- validity gates (optimizer.py:404-409) ---
+    conf_ok = (pose2d_c[..., 2:] >= cfg.joint_confidence_thr
+               ).astype(jnp.float32)              # (C, N, 17, 1)
+    pose2d_valid = (jnp.sum(conf_ok, axis=(2, 3)) >= 2).astype(
+        jnp.float32)                              # (C, N)
+    mask_valid = (jnp.sum(seg_c, axis=(2, 3))
+                  >= 0.005 * H * W).astype(jnp.float32)
+
+    fv = frame_valid_c[:, None]                   # (C, 1)
+
+    # --- 2D keypoint loss (optimizer.py:414-420) ---
+    kd = (None if cfg.cam_dist_coef is None
+          else jnp.asarray(cfg.cam_dist_coef))
+    proj = project_points(joints_abs, data.cam_K, dist_coef=kd)
+    norm = jnp.asarray([W, H], jnp.float32)
+    w2d = conf_ok * fv[..., None, None]
+    loss_pose = jnp.sum(jnp.square(w2d * (proj - pose2d_c[..., :2])
+                                   / norm))
+
+    # --- rasterize all bodies of the chunk ---
+    raster = rasterize_bodies(verts_abs.reshape(C * N, -1, 3),
+                              model.faces, data.cam_K,
+                              cfg.raster_settings)
+    win = cfg.window
+    zbuf = raster["zbuf"].reshape(C, N, win, win)
+    sil = raster["sil"].reshape(C, N, win, win)
+    origins = raster["origin"].reshape(C, N, 2)
+
+    # --- depth loss (optimizer.py:425-442) ---
+    target_disp = (depths_c * (1.0 / min_z_c - 1.0 / max_z_c)
+                   + 1.0 / max_z_c)               # (C, H, W)
+    target_win = _gather_windows(
+        jnp.broadcast_to(target_disp[:, None], (C, N, H, W)), origins,
+        win)
+    seg_eroded = erode(seg_c, kernel_size=3, iterations=2)
+    seg_er_win = _gather_windows(seg_eroded, origins, win)
+
+    zbuf_valid = jnp.isfinite(zbuf)
+    zbuf_safe = jnp.where(zbuf_valid, zbuf, 1.0)
+    zbuf_disp = 1.0 / jnp.clip(zbuf_safe + 0.2, cfg.eps)
+    dmask = (zbuf_valid.astype(jnp.float32) * seg_er_win
+             * (pose2d_valid * fv)[..., None, None])
+    n_pix = jnp.sum(dmask, axis=(2, 3)) + 1.0
+    mean_pred = jnp.sum(dmask * jnp.log(jnp.clip(zbuf_disp, cfg.eps)),
+                        axis=(2, 3)) / n_pix
+    mean_true = jnp.sum(dmask * jnp.log(jnp.clip(target_win, cfg.eps)),
+                        axis=(2, 3)) / n_pix
+    loss_depth = jnp.sum(jnp.square(mean_pred - mean_true))
+
+    # --- occlusion-ordered silhouette loss (optimizer.py:447-477) ---
+    # acc_mask for person p = union of seg masks of people closer than
+    # p in this frame (z order of poses_T); built by a cumulative-OR in
+    # sorted order, then unsorted. Data-only (no gradient), so the
+    # whole-image part reduces to two mask sums.
+    z_order = jnp.argsort(poses_T_h[1:, :, 0, 2], axis=1)   # (C, N)
+    seg_sorted = jnp.take_along_axis(
+        seg_c, z_order[:, :, None, None], axis=1)
+    closer = jnp.cumsum(seg_sorted, axis=1) - seg_sorted
+    acc_sorted = (closer > 0).astype(jnp.float32)
+    inv_order = jnp.argsort(z_order, axis=1)
+    acc = jnp.take_along_axis(acc_sorted, inv_order[:, :, None, None],
+                              axis=1)             # (C, N, H, W)
+    keep = 1.0 - acc
+    n_keep = jnp.sum(keep, axis=(2, 3)) + 1.0     # (C, N)
+    keep_win = _gather_windows(keep, origins, win)
+    seg_win = _gather_windows(seg_c, origins, win)
+    in_win = jnp.sum(jnp.square(keep_win * (sil - seg_win)),
+                     axis=(2, 3))
+    seg_keep_total = jnp.sum(keep * seg_c, axis=(2, 3))
+    seg_keep_win = jnp.sum(keep_win * seg_win, axis=(2, 3))
+    outside = seg_keep_total - seg_keep_win       # sum of (0-seg)^2
+    sil_gate = mask_valid * pose2d_valid * fv
+    loss_sil = jnp.sum(sil_gate * (in_win + outside) / n_keep)
+
+    # --- contact + foot sliding (optimizer.py:485-518) ---
+    low, cdist, target_T = contact_targets(
+        verts_abs, takec(params.poses_T), aux.scene, k=cfg.knn,
+        offset=cfg.contact_offset)
+    reg_contact = aux.have_scene * jnp.sum(
+        fv[..., None, None] * jnp.abs(takec(params.poses_T) - target_T))
+
+    in_contact = (cdist > -cfg.contact_thr).astype(jnp.float32)  # (C,N,1,1)
+    # previous-frame verts at the CURRENT frame's lowest-vertex index
+    idx_low = jnp.argmax(verts_abs_h[..., 1], axis=-1)[..., None, None]
+    low_tm1 = jnp.take_along_axis(
+        verts_abs_h[:-1], idx_low[1:].repeat(3, -1), axis=-2)
+    pv = pair_valid[:, None, None, None]
+    fs_num = jnp.sum(jnp.abs(pv * in_contact * (low - low_tm1)))
+    fs_den = jnp.clip(jnp.sum(pv * in_contact), 1.0)
+    reg_foot_sliding = aux.have_scene * fs_num / fs_den
+
+    # --- SMPL parameter regularization (optimizer.py:523-526) ---
+    w_ref = valid_smpl_c * fv[..., None]          # (C, N, 1)
+    reg_ref = jnp.sum(jnp.abs(
+        w_ref * (ref_poses_c - takec(params.poses_smpl))))
+    reg_ref = reg_ref + jnp.sum(frame_valid_c) * jnp.sum(
+        jnp.abs(params.betas - aux.betas_ref))
+
+    # --- filtered-verts smoothness (optimizer.py:563-574), computed
+    # in-chunk against the precomputed filtered-diff targets ---
+    dvf = takec(aux.verts_filt_diff).astype(jnp.float32)
+    gv_diff = verts_abs - verts_abs_h[:-1]
+    reg_filter_verts = aux.have_filters * jnp.sum(
+        jnp.square(pv * (gv_diff - dvf)))
+
+    loss = (coefs["proj2d"] * loss_pose
+            + coefs["depth"] * loss_depth
+            + coefs["silhouette"] * loss_sil
+            + coefs["reg_poses"] * reg_ref
+            + coefs["reg_contact"] * reg_contact
+            + coefs["reg_foot_sliding"] * reg_foot_sliding
+            + coefs["reg_verts_filter"] * reg_filter_verts)
+    parts = jnp.stack([loss_pose, loss_depth, loss_sil, reg_ref,
+                       jnp.zeros(()), reg_contact, reg_foot_sliding,
+                       jnp.zeros(()), reg_filter_verts])
+    return loss, parts
+
+
+def _cycle_loss(params: StageParams, model: SMPLModel, data: SeqData,
+                aux: StageAux, coefs, cfg: EngineConfig):
+    """Full-sequence loss: scanned chunks + global temporal terms."""
+    chunk_fn = jax.checkpoint(
+        lambda p, i: _chunk_loss(p, model, data, aux, coefs, cfg, i),
+        policy=jax.checkpoint_policies.nothing_saveable)
+
+    def body(carry, i):
+        acc_loss, acc_parts = carry
+        l, parts = chunk_fn(params, i)
+        return (acc_loss + l, acc_parts + parts), None
+
+    (loss, parts), _ = lax.scan(
+        body, (jnp.zeros(()), jnp.zeros((len(LOG_KEYS),))),
+        jnp.arange(cfg.num_chunks))
+
+    # velocity regularizer over the whole sequence (optimizer.py:560)
+    fv = data.frame_valid
+    pairv = (fv[1:] * fv[:-1])[:, None, None, None]
+    reg_vel = jnp.sum(jnp.square(
+        pairv * (params.poses_T[1:] - params.poses_T[:-1])))
+    loss = loss + coefs["reg_velocity"] * reg_vel
+
+    # scale regularization, once per epoch scaled to the reference's
+    # per-batch accounting (optimizer.py:531-539 runs per batch of
+    # `batch_size_ref` frames)
+    scale = scale_factor_of(params)
+    n_batches = cfg.num_frames / cfg.batch_size_ref
+    reg_scale_avg = jnp.square(jnp.sum(scale - 1.0))
+    reg_scale_person = jnp.mean(jnp.square(scale - 1.0))
+    reg_scale = n_batches * (coefs["reg_scales"] * reg_scale_person
+                             + (coefs["reg_scales"] > 0) * reg_scale_avg)
+    loss = loss + reg_scale
+
+    parts = parts.at[4].set(n_batches * (reg_scale_avg
+                                         + reg_scale_person))
+    parts = parts.at[7].set(reg_vel)
+    return loss, parts
+
+
+# ---------------------------------------------------------------------------
+# Cycle step + auxiliary updates
+# ---------------------------------------------------------------------------
+
+def make_stage1_optimizer(lr: float = 0.01, alpha: float = 0.5,
+                          momentum: float = 0.9, gamma: float = 0.99):
+    """RMSprop(0.01, alpha=0.5, momentum=0.9) + ExponentialLR(0.99)
+    (optimizer.py:355-356)."""
+    sched = optax.exponential_decay(lr, 1, gamma)
+    return optax.rmsprop(sched, decay=alpha, momentum=momentum,
+                         eps=1e-8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "optimize_scale"),
+                   donate_argnums=(0, 1))
+def stage1_cycle(params: StageParams, opt_state, model: SMPLModel,
+                 data: SeqData, aux: StageAux, coefs,
+                 cfg: EngineConfig, optimize_scale: bool = True):
+    """One full optimization cycle (== one reference epoch): full-batch
+    gradient over all frames, one RMSprop update."""
+    opt = make_stage1_optimizer()
+    (loss, parts), grads = jax.value_and_grad(
+        _cycle_loss, has_aux=True)(params, model, data, aux, coefs, cfg)
+    if not optimize_scale:
+        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, parts
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_scene(params: StageParams, data: SeqData, cfg: EngineConfig):
+    """Rebuild the static scene point cloud from the current disparity
+    de-normalization (optimizer.py:578-584 + 605-616), fully on-device.
+    """
+    min_z, max_z = z_bounds_of(params, cfg)
+    valid = data.backmask & (data.frame_valid[:, None, None] > 0.5)
+    med, ok = aggregate_scene_depth(data.depths, valid, min_z, max_z)
+    pcd = build_scene_pointcloud(med, ok, data.cam_K,
+                                 use_bilateral=True)
+    return pcd
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_filtered_targets(params: StageParams, model: SMPLModel,
+                            cfg: EngineConfig):
+    """One-Euro-filter the absolute vertex trajectories and return the
+    per-frame filtered differences (bf16) used by the smoothness term.
+
+    Matches the reference's every-25-cycles filtering of
+    scale*verts + poses_T with min_cutoff2/beta2 and its 'ramp' time
+    base (optimizer.py:383-392 + 664-675), computed chunk-by-chunk with
+    the filter state carried across chunk boundaries.
+    """
+    C, N = cfg.chunk, cfg.num_people
+    scale = scale_factor_of(params)
+
+    def chunk_verts(i):
+        t0 = i * C
+        poses = lax.dynamic_slice_in_dim(params.poses_smpl, t0, C, 0)
+        pT = lax.dynamic_slice_in_dim(params.poses_T, t0, C, 0)
+        v, _ = _smpl_bodies(model, poses, params.betas, scale, pT)
+        return v                                  # (C, N, V, 3)
+
+    def step_outer(carry, i):
+        state, prev = carry
+        v = chunk_verts(i)
+
+        def step(inner, tv):
+            st, pv = inner
+            t, x = tv
+            te = jnp.maximum(t.astype(jnp.float32) / cfg.frame_rate,
+                             1e-6)
+            st2, xf = one_euro_step(st, x, te, cfg.min_cutoff2,
+                                    cfg.beta2)
+            first = t == 0
+            xf = jnp.where(first, x, xf)
+            st2 = (jnp.where(first, x, st2[0]),
+                   jnp.where(first, jnp.zeros_like(x), st2[1]))
+            diff = (xf - pv) * (1.0 - first)
+            return (st2, xf), diff
+
+        ts = i * C + jnp.arange(C)
+        (state, prev), diffs = lax.scan(step, (state, prev), (ts, v))
+        return (state, prev), diffs.astype(jnp.bfloat16)
+
+    dummy = jnp.zeros_like(chunk_verts(0)[0])
+    init = (one_euro_init(dummy), dummy)
+    _, diffs = lax.scan(step_outer, init, jnp.arange(cfg.num_chunks))
+    return diffs.reshape(cfg.padded_frames, N, -1, 3)
+
+
+def get_optimized_variables(params: StageParams, cfg: EngineConfig,
+                            data_valid_smpl: np.ndarray,
+                            scene: Optional[Dict] = None) -> Dict:
+    """Export the optvar dict with the reference's pickle schema
+    (optimizer.py:619-636). Arrays are unpadded to the real T."""
+    T = cfg.num_frames
+    min_z, max_z = z_bounds_of(params, cfg)
+    out = {
+        "scale_factor": np.asarray(scale_factor_of(params)),
+        "poses_T": np.asarray(params.poses_T)[:T],
+        "poses_smpl": np.asarray(params.poses_smpl)[:T],
+        "betas_smpl": np.asarray(params.betas),
+        "valid_smpl": np.asarray(data_valid_smpl)[:T],
+        "min_z": np.asarray(min_z)[:T],
+        "max_z": np.asarray(max_z)[:T],
+        "scene_depth": None,
+        "scene_img": None,
+        "scene_mask": None,
+    }
+    if scene:
+        out.update(scene)
+    return out

@@ -25,11 +25,12 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import NamedTuple, Optional
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 # All SMPL contractions are tiny (<=6890x24) but feed mm-accuracy 3D
 # metrics, so they must not fall back to the TPU's bf16 matmul default.
@@ -73,11 +74,14 @@ H36M_TO_J17 = np.array(
     dtype=np.int32)
 
 
-class SMPLModel(NamedTuple):
+@struct.dataclass
+class SMPLModel:
     """Immutable SMPL model data (a pytree of arrays).
 
     Shapes use V = num vertices (6890), F = num faces (13776),
     J = 24 joints, B = 10 betas, P = 207 pose-blendshape features.
+    `parents` is static metadata (it drives code generation for the
+    kinematic-chain levels), not a traced leaf.
     """
 
     v_template: jax.Array          # (V, 3)
@@ -85,9 +89,9 @@ class SMPLModel(NamedTuple):
     posedirs: jax.Array            # (P, V*3)  — pre-transposed
     j_regressor: jax.Array         # (J, V)
     lbs_weights: jax.Array         # (V, J)
-    parents: np.ndarray            # (J,) static numpy (drives code gen)
     faces: jax.Array               # (F, 3) int32
     extra_vertex_ids: jax.Array    # (21,) int32
+    parents: Tuple[int, ...] = struct.field(pytree_node=False)
     # Optional auxiliary regressors (None when not loaded):
     j_reg_extra9: Optional[jax.Array] = None      # (9, V)
     j_reg_h36m17: Optional[jax.Array] = None      # (17, V), permuted
@@ -110,7 +114,7 @@ def _dense(x) -> np.ndarray:
     return np.asarray(x, dtype=np.float32)
 
 
-def _tree_levels(parents: np.ndarray):
+def _tree_levels(parents):
     """Group joints by depth in the kinematic tree.
 
     Returns a list of (joint_idx_array, parent_idx_array) per level,
@@ -118,6 +122,7 @@ def _tree_levels(parents: np.ndarray):
     single batched matmul because their parents' global transforms are
     already final.
     """
+    parents = np.asarray(parents, dtype=np.int32)
     depth = np.zeros(len(parents), dtype=np.int32)
     for j in range(1, len(parents)):
         depth[j] = depth[parents[j]] + 1
@@ -177,7 +182,7 @@ def load_smpl_model(
         posedirs=jnp.asarray(posedirs, dtype=dtype),
         j_regressor=jnp.asarray(j_regressor, dtype=dtype),
         lbs_weights=jnp.asarray(weights, dtype=dtype),
-        parents=parents,
+        parents=tuple(int(p) for p in parents),
         faces=jnp.asarray(faces),
         extra_vertex_ids=jnp.asarray(EXTRA_VERTEX_IDS),
         j_reg_extra9=_maybe("J_regressor_extra.npy"),

@@ -115,16 +115,21 @@ def make_synthetic_smpl(
     shapedirs = 0.01 * rng.randn(V, 3, NUM_BETAS).astype(np.float32)
     posedirs = 0.001 * rng.randn(207, V * 3).astype(np.float32)
 
-    # Faces: triangulate consecutive ring pairs within each bone.
+    # Faces: triangulate consecutive rings of the same bone. Ring r is
+    # vertices [8r, 8r+8); rings are laid out round-robin over bones,
+    # so the next ring of the same bone is n_bones rings later.
     faces = []
-    for v0 in range(0, V - ring - 1, ring):
-        if bone_of_v[v0] != bone_of_v[v0 + ring]:
-            continue
+    num_rings = V // ring
+    for r in range(num_rings - n_bones):
+        if (r // n_bones) % 16 == 15:
+            continue  # 'along' wraps back to the bone start
+        v0 = r * ring
+        v1 = (r + n_bones) * ring
         for k in range(ring):
             k2 = (k + 1) % ring
-            faces.append([v0 + k, v0 + ring + k, v0 + k2])
-            faces.append([v0 + k2, v0 + ring + k, v0 + ring + k2])
-    faces = np.asarray(faces, dtype=np.int32)
+            faces.append([v0 + k, v1 + k, v0 + k2])
+            faces.append([v0 + k2, v1 + k, v1 + k2])
+    faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
     if num_faces is not None:
         if len(faces) >= num_faces:
             faces = faces[:num_faces]
@@ -134,13 +139,15 @@ def make_synthetic_smpl(
 
     extra_ids = rng.choice(V, size=21, replace=False).astype(np.int32)
 
-    def _aux(j_out, scale=1.0):
+    def _aux(j_out):
         if not with_aux_regressors:
             return None
-        sel = rng.choice(V, size=(j_out, 16))
+        # One vertex per joint (spread across the body so synthetic
+        # "keypoints" have realistic extent, not an average collapsing
+        # to the torso center).
+        sel = rng.choice(V, size=j_out, replace=False)
         reg = np.zeros((j_out, V), np.float32)
-        for j in range(j_out):
-            reg[j, sel[j]] = scale / 16
+        reg[np.arange(j_out), sel] = 1.0
         return jnp.asarray(reg, dtype=dtype)
 
     return SMPLModel(
@@ -149,7 +156,7 @@ def make_synthetic_smpl(
         posedirs=jnp.asarray(posedirs, dtype=dtype),
         j_regressor=jnp.asarray(jr, dtype=dtype),
         lbs_weights=jnp.asarray(w, dtype=dtype),
-        parents=parents,
+        parents=tuple(int(p) for p in parents),
         faces=jnp.asarray(faces),
         extra_vertex_ids=jnp.asarray(extra_ids),
         j_reg_extra9=_aux(9),

@@ -1,0 +1,208 @@
+"""Image processing primitives for depth/scene postprocessing, in JAX.
+
+Capability parity with the reference's OpenCV/numpy usage:
+  * bilateral filter              (utils.py:185, datautils.py:73)
+  * Sobel-gradient outlier masks  (utils.py:151-162, 190-200)
+  * iterative masked fill-in      (utils.py:91-135 — an O(H*W) python
+                                   double loop per iteration in the
+                                   reference; here one vectorized
+                                   rank-filter step under lax.while_loop)
+  * disparity/depth postprocess   (utils.py:139-209)
+  * masked temporal median        (fhsog.py:180-202)
+
+Everything is jittable and static-shaped; masked medians use sort with
++inf padding instead of numpy masked arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _unfold(x: jax.Array, k: int, fill: float) -> jax.Array:
+    """Extract k*k neighborhoods: (H, W) -> (H, W, k*k)."""
+    pad = k // 2
+    xp = jnp.pad(x, ((pad, pad), (pad, pad)), constant_values=fill)
+    patches = [xp[i:i + x.shape[0], j:j + x.shape[1]]
+               for i in range(k) for j in range(k)]
+    return jnp.stack(patches, axis=-1)
+
+
+def masked_window_median(x, mask, k: int):
+    """Median over valid pixels of each k*k window.
+
+    Returns (median (H, W), any_valid (H, W)). Invalid windows return 0.
+    """
+    vals = _unfold(x, k, 0.0)
+    ok = _unfold(mask.astype(x.dtype), k, 0.0) > 0.5
+    n = jnp.sum(ok, axis=-1)
+    big = jnp.float32(3.4e38)
+    sorted_vals = jnp.sort(jnp.where(ok, vals, big), axis=-1)
+    # median of n valid values: average of elements (n-1)//2 and n//2
+    lo_idx = jnp.maximum((n - 1) // 2, 0).astype(jnp.int32)
+    hi_idx = (n // 2).astype(jnp.int32)
+    lo = jnp.take_along_axis(sorted_vals, lo_idx[..., None], -1)[..., 0]
+    hi = jnp.take_along_axis(sorted_vals, hi_idx[..., None], -1)[..., 0]
+    med = 0.5 * (lo + hi)
+    any_valid = n > 0
+    return jnp.where(any_valid, med, 0.0), any_valid
+
+
+def fillin_masked(x, mask, filter_size: int, max_iters: int = 64):
+    """Iteratively fill masked-out pixels with the window median of
+    valid neighbors until the mask is full (or max_iters).
+
+    Matches the semantics of repeatedly applying the reference
+    `fillin_values` (utils.py:91-135) in a `while mask.min() == 0`
+    loop (utils.py:166-171); each iteration here is one vectorized
+    rank-filter instead of a python pixel loop.
+    """
+    def cond(state):
+        _, m, it = state
+        return (jnp.min(m) < 0.5) & (it < max_iters)
+
+    def body(state):
+        xv, m, it = state
+        med, ok = masked_window_median(xv, m, filter_size)
+        newly = (m < 0.5) & ok
+        xv = jnp.where(newly, med, xv)
+        m = jnp.where(newly, 1.0, m)
+        return xv, m, it + 1
+
+    x0 = x.astype(jnp.float32)
+    m0 = mask.astype(jnp.float32)
+    xf, mf, _ = lax.while_loop(cond, body, (x0, m0, jnp.int32(0)))
+    return xf, mf
+
+
+def sobel_magnitude(x: jax.Array) -> jax.Array:
+    """|Sobel_x| + |Sobel_y| with 3x3 kernels, replicate padding
+    (matches cv2.Sobel's default BORDER_REFLECT_101 closely enough for
+    edge masks)."""
+    kx = jnp.asarray([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], x.dtype)
+    ky = kx.T
+    xp = jnp.pad(x, 1, mode="reflect")
+
+    def conv(img, k):
+        return lax.conv_general_dilated(
+            img[None, None], k[None, None], (1, 1), "VALID")[0, 0]
+
+    return jnp.abs(conv(xp, kx)) + jnp.abs(conv(xp, ky))
+
+
+def bilateral_filter(x: jax.Array, d: int = 9, sigma_color: float = 0.05,
+                     sigma_space: float = 25.0) -> jax.Array:
+    """Bilateral filter over (H, W), window d*d.
+
+    Same parameterization as cv2.bilateralFilter (utils.py:185,
+    datautils.py:73): gaussian space weights over the window, gaussian
+    range weights over intensity differences.
+    """
+    k = d if d % 2 == 1 else d + 1
+    r = k // 2
+    offs = jnp.arange(-r, r + 1, dtype=x.dtype)
+    sw = jnp.exp(-(offs[:, None] ** 2 + offs[None, :] ** 2)
+                 / (2.0 * sigma_space ** 2)).reshape(-1)
+    vals = _unfold(x, k, jnp.nan)
+    ok = ~jnp.isnan(vals)
+    vals = jnp.nan_to_num(vals)
+    rw = jnp.exp(-jnp.square(vals - x[..., None])
+                 / (2.0 * sigma_color ** 2))
+    w = sw * rw * ok
+    return jnp.sum(w * vals, axis=-1) / jnp.clip(
+        jnp.sum(w, axis=-1), 1e-8)
+
+
+def _edge_outlier_mask(disp, depth):
+    """Pixels whose combined normalized Sobel gradient exceeds 3x the
+    mean are outliers ('flying pixels'); the clean mask is additionally
+    eroded twice with a 3x3 kernel (utils.py:151-162 / 190-200)."""
+    from .morphology import erode
+    g_disp = sobel_magnitude(disp)
+    g_depth = sobel_magnitude(depth)
+    g = (g_disp / jnp.clip(jnp.std(g_disp), 1e-8)
+         + g_depth / jnp.clip(jnp.std(g_depth), 1e-8))
+    edges = (g > 3.0 * jnp.mean(g)).astype(disp.dtype)
+    return erode(1.0 - edges, kernel_size=3, iterations=2)
+
+
+@functools.partial(jax.jit, static_argnames=("fillin_ksize",))
+def postprocess_dispmap(dispmap, mask=None, minz: float = 1.0,
+                        maxz: float = 20.0, fillin_ksize: int = 7):
+    """Outlier removal + fill-in for a normalized disparity map.
+
+    Reference utils.py:139-171: clip, detect Sobel outliers on both
+    disparity and induced depth, erode the valid mask, median-fill the
+    holes.
+    """
+    disp = jnp.clip(dispmap, 1.0 / maxz, 1.0)
+    depth = 1.0 / (disp * (1.0 / minz - 1.0 / maxz) + 1.0 / maxz)
+    dmask = _edge_outlier_mask(disp, depth)
+    if mask is not None:
+        dmask = dmask * mask
+    filled, _ = fillin_masked(disp, dmask, fillin_ksize)
+    return filled
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("fillin_ksize", "use_bilateral_filter"))
+def postprocess_depthmap(depth, mask=None, fillin_ksize: int = 7,
+                         use_bilateral_filter: bool = False):
+    """Outlier removal + fill-in for a metric depth map.
+
+    Reference utils.py:174-209 (used on the aggregated scene depth at
+    optimizer.py:583 and in visualization).
+    """
+    if use_bilateral_filter:
+        disp_f = bilateral_filter(1.0 / jnp.clip(depth, 0.01, 100.0),
+                                  d=9, sigma_color=0.05, sigma_space=25.0)
+        depth = 1.0 / jnp.clip(disp_f, 0.01, 100.0)
+    disp = 1.0 / jnp.clip(depth, 0.1, 100.0)
+    dmask = _edge_outlier_mask(disp, depth)
+    if mask is not None:
+        dmask = dmask * mask
+    filled, _ = fillin_masked(depth, dmask, fillin_ksize)
+    return filled
+
+
+def masked_temporal_median(values, valid):
+    """Per-pixel median over time of masked values.
+
+    values: (T, H, W) or (T, H, W, C); valid: (T, H, W) bool/0-1.
+    Returns (median, any_valid) — the TPU-side equivalent of the
+    numpy.ma median aggregation in the reference
+    `aggegrate_scene_geometry_median` (fhsog.py:180-202).
+    """
+    v = values.astype(jnp.float32)
+    ok = valid.astype(bool)
+    if v.ndim == 4:
+        ok = ok[..., None]
+    ok = jnp.broadcast_to(ok, v.shape)
+    big = jnp.float32(3.4e38)
+    sv = jnp.sort(jnp.where(ok, v, big), axis=0)
+    n = jnp.sum(ok, axis=0)
+    lo_idx = jnp.maximum((n - 1) // 2, 0).astype(jnp.int32)
+    hi_idx = (n // 2).astype(jnp.int32)
+    lo = jnp.take_along_axis(sv, lo_idx[None], 0)[0]
+    hi = jnp.take_along_axis(sv, hi_idx[None], 0)[0]
+    med = 0.5 * (lo + hi)
+    any_valid = n > 0
+    return jnp.where(any_valid, med, 0.0), jnp.all(
+        any_valid, axis=-1) if values.ndim == 4 else any_valid
+
+
+def resize_bicubic(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """Bicubic resize of (H, W[, C]) — jax.image wrapper used by the
+    host-side ingestion when PIL is unavailable."""
+    out_shape = (out_hw[0], out_hw[1]) + img.shape[2:]
+    return jax.image.resize(img.astype(jnp.float32), out_shape, "cubic")
+
+
+def resize_nearest(img: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    out_shape = (out_hw[0], out_hw[1]) + img.shape[2:]
+    return jax.image.resize(img, out_shape, "nearest")

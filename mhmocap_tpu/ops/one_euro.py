@@ -32,6 +32,28 @@ def _alpha(t_e, cutoff):
     return r / (r + 1.0)
 
 
+def one_euro_init(x0: jax.Array):
+    """Initial filter state (x_prev, dx_prev) for `one_euro_step`."""
+    return (x0, jnp.zeros_like(x0))
+
+
+def one_euro_step(state, x, t_e, min_cutoff, beta, d_cutoff=1.0):
+    """One unmasked filter update; returns (new_state, x_hat).
+
+    The stateful building block used by chunked pipelines (e.g. the
+    filtered-vertex targets computed chunk-by-chunk with the state
+    carried across chunk boundaries).
+    """
+    x_prev, dx_prev = state
+    a_d = _alpha(t_e, d_cutoff)
+    dx = (x - x_prev) / t_e
+    dx_hat = a_d * dx + (1 - a_d) * dx_prev
+    cutoff = min_cutoff + beta * jnp.abs(dx_hat)
+    a = _alpha(t_e, cutoff)
+    x_hat = a * x + (1 - a) * x_prev
+    return (x_hat, dx_hat), x_hat
+
+
 def one_euro_filter(
     x: jax.Array,                    # (T, ...) signal over time
     min_cutoff: float = 0.004,

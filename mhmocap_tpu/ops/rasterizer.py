@@ -1,0 +1,246 @@
+"""Differentiable mesh rasterization: z-buffer depth + soft silhouette.
+
+TPU-native replacement for the capability the reference gets from
+PyTorch3D's CUDA rasterizer + SoftSilhouetteShader (reference
+optimizer.py:209-232 builds a MeshRasterizer with blur_radius=1e-4 /
+faces_per_pixel=8 for depth and blur_radius=2e-5 / faces_per_pixel=4
+for silhouettes; optimizer.py:427-448 consumes zbuf in the metric
+depth domain).
+
+Design (TPU-first, static shapes):
+  * rasterization happens on a fixed-size square crop window per body,
+    positioned at the projected-vertex bbox center (people cover a
+    small fraction of the frame at the working resolution, reference
+    configs resize_factor=0.125) — full-image products are never
+    materialized;
+  * faces are processed in chunks with a `lax.scan` carrying the
+    running z-min and the running sum of log(1 - coverage), so memory
+    is O(window^2 * chunk) regardless of face count; the scan is
+    rematerialized under AD;
+  * depth is the hard minimum of screen-space-barycentric interpolated
+    camera z over covering faces (same semantics as the reference's
+    zbuf[..., 0] with perspective_correct=False);
+  * silhouette coverage per face is sigmoid(-d_signed^2 / blur) with
+    d^2 the signed squared pixel distance to the triangle (negative
+    inside), alpha-composited as 1 - prod(1 - p) over ALL faces in
+    log space (the reference composites the 4 nearest; distant faces
+    contribute p ~= 0, so the product over all faces is equivalent and
+    needs no per-pixel face sorting).
+
+Distances are computed in pixel units; the NDC blur radii of the
+reference convert via blur_px^2 = blur_ndc * (min(H, W)/2)^2.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cameras import project_points
+
+
+class RasterSettings(NamedTuple):
+    image_size: Tuple[int, int]      # (W, H)
+    window: int = 128                # crop window side, pixels
+    face_chunk: int = 256            # faces per scan step
+    blur_ndc_depth: float = 1e-4     # reference optimizer.py:213
+    blur_ndc_sil: float = 2e-5       # reference optimizer.py:223
+    znear: float = 1.0
+    zfar: float = 100.0
+
+    @property
+    def sil_blur_px2(self) -> float:
+        s = min(self.image_size) / 2.0
+        return float(self.blur_ndc_sil * s * s)
+
+    @property
+    def depth_blur_px2(self) -> float:
+        s = min(self.image_size) / 2.0
+        return float(self.blur_ndc_depth * s * s)
+
+
+def _point_triangle_signed_d2(px, py, tri):
+    """Signed squared distance of pixels to a screen-space triangle.
+
+    px, py: (..., ) pixel center coordinates (broadcast against tri).
+    tri: (..., 3, 2) triangle vertices in pixel space.
+    Returns (d2_signed, inside): d2 negative inside the triangle.
+    """
+    ax, ay = tri[..., 0, 0], tri[..., 0, 1]
+    bx, by = tri[..., 1, 0], tri[..., 1, 1]
+    cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+
+    def edge(x0, y0, x1, y1):
+        # cross((p - v0), (v1 - v0)) and squared distance to segment
+        ex, ey = x1 - x0, y1 - y0
+        pxr, pyr = px - x0, py - y0
+        cross = pxr * ey - pyr * ex
+        ee = ex * ex + ey * ey
+        t = jnp.clip((pxr * ex + pyr * ey) / jnp.maximum(ee, 1e-12), 0., 1.)
+        dx = pxr - t * ex
+        dy = pyr - t * ey
+        return cross, dx * dx + dy * dy
+
+    c0, d0 = edge(ax, ay, bx, by)
+    c1, d1 = edge(bx, by, cx, cy)
+    c2, d2 = edge(cx, cy, ax, ay)
+    area2 = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    s = jnp.sign(area2)
+    # c_i = (p - v0) x (v1 - v0) = -E_i(p); inside <=> s * c_i <= 0
+    # for every edge, for either winding.
+    inside = ((s * c0 <= 0) & (s * c1 <= 0) & (s * c2 <= 0)
+              & (jnp.abs(area2) > 1e-9))
+    dmin = jnp.minimum(d0, jnp.minimum(d1, d2))
+    return jnp.where(inside, -dmin, dmin), inside
+
+
+def _barycentric_z(px, py, tri, z):
+    """Screen-space barycentric interpolation of per-vertex z.
+
+    tri: (..., 3, 2), z: (..., 3). perspective_correct=False semantics
+    (reference optimizer.py:215).
+    """
+    ax, ay = tri[..., 0, 0], tri[..., 0, 1]
+    bx, by = tri[..., 1, 0], tri[..., 1, 1]
+    cx, cy = tri[..., 2, 0], tri[..., 2, 1]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    inv = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
+    w0 = ((bx - px) * (cy - py) - (by - py) * (cx - px)) * inv
+    w1 = ((cx - px) * (ay - py) - (cy - py) * (ax - px)) * inv
+    w2 = 1.0 - w0 - w1
+    return w0 * z[..., 0] + w1 * z[..., 1] + w2 * z[..., 2]
+
+
+def window_origin(uv, z, settings: RasterSettings):
+    """Crop-window origin (x0, y0) for one body from projected verts.
+
+    Centers the window on the bbox of the in-front-of-camera verts,
+    clamped to the image. Non-differentiable by construction.
+    """
+    W, H = settings.image_size
+    win = settings.window
+    ok = (z > settings.znear)[..., None]
+    big = jnp.asarray([W, H], uv.dtype)
+    lo = jnp.min(jnp.where(ok, uv, big), axis=0)
+    hi = jnp.max(jnp.where(ok, uv, -big), axis=0)
+    center = jax.lax.stop_gradient(0.5 * (lo + hi))
+    origin = jnp.round(center - win / 2.0).astype(jnp.int32)
+    max_xy = jnp.asarray([max(W - win, 0), max(H - win, 0)], jnp.int32)
+    return jnp.clip(origin, 0, max_xy)
+
+
+def _raster_window(fuv, fz, face_ok, origin, settings: RasterSettings):
+    """Rasterize one body's faces onto its crop window.
+
+    fuv: (F, 3, 2) face vertices in pixel coords; fz: (F, 3) camera z;
+    face_ok: (F,) bool; origin: (2,) int32.
+    Returns (zbuf (win, win), sil (win, win)); zbuf = +inf where empty.
+    """
+    win = settings.window
+    chunk = settings.face_chunk
+    F = fuv.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        fuv = jnp.concatenate([fuv, jnp.zeros((pad, 3, 2), fuv.dtype)])
+        fz = jnp.concatenate([fz, jnp.zeros((pad, 3), fz.dtype)])
+        face_ok = jnp.concatenate([face_ok, jnp.zeros((pad,), bool)])
+
+    xs = origin[0] + jnp.arange(win, dtype=fuv.dtype) + 0.5
+    ys = origin[1] + jnp.arange(win, dtype=fuv.dtype) + 0.5
+    px = xs[None, :, None]          # (1, win, 1) broadcast vs faces
+    py = ys[:, None, None]          # (win, 1, 1)
+
+    inv_blur = 1.0 / settings.sil_blur_px2
+
+    def chunk_step(carry, inp):
+        zmin, logkeep = carry
+        cuv, cz, cok = inp          # (chunk,3,2), (chunk,3), (chunk,)
+        # Cull faces fully behind the near plane (reference clips at
+        # znear=1 through the NDC transform).
+        ok = cok & jnp.all(cz > settings.znear, axis=-1)
+        tri = cuv[None, None]       # (1, 1, chunk, 3, 2)
+        d2s, inside = _point_triangle_signed_d2(px, py, tri)
+        zi = _barycentric_z(px, py, tri, cz[None, None])
+        covered = inside & ok[None, None] & (zi > settings.znear)
+        zmin = jnp.minimum(
+            zmin, jnp.min(jnp.where(covered, zi, jnp.inf), axis=-1))
+        # log(1 - sigmoid(-d2/blur)) = log_sigmoid(d2/blur)
+        ls = jax.nn.log_sigmoid(d2s * inv_blur)
+        logkeep = logkeep + jnp.sum(
+            jnp.where(ok[None, None], ls, 0.0), axis=-1)
+        return (zmin, logkeep), None
+
+    init = (jnp.full((win, win), jnp.inf, fuv.dtype),
+            jnp.zeros((win, win), fuv.dtype))
+    n_chunks = (F + pad) // chunk
+    # Rematerialize each face-chunk step under AD: the backward pass
+    # then recomputes one chunk's (win, win, chunk) pair tensors at a
+    # time instead of storing them for every scan step (which OOMs at
+    # ~bodies * win^2 * F floats).
+    (zbuf, logkeep), _ = jax.lax.scan(
+        jax.checkpoint(chunk_step), init,
+        (fuv.reshape(n_chunks, chunk, 3, 2),
+         fz.reshape(n_chunks, chunk, 3),
+         face_ok.reshape(n_chunks, chunk)))
+    sil = 1.0 - jnp.exp(logkeep)
+    return zbuf, sil
+
+
+def rasterize_body(verts, faces, cam_K, settings: RasterSettings):
+    """Depth + silhouette raster of one body on its crop window.
+
+    verts: (V, 3) camera-space; faces: (F, 3) int; cam_K: (3, 3).
+    Returns dict(zbuf, sil, origin): zbuf/sil are (win, win), origin is
+    the (x0, y0) of the window in image coordinates.
+    """
+    uvz = project_points(verts, cam_K, return_depth=True)
+    uv, z = uvz[..., :2], uvz[..., 2]
+    # Behind-camera verts project to mirrored positions; guard the
+    # window/bbox logic and face validity with a z test instead.
+    origin = window_origin(uv, z, settings)
+    fuv = uv[faces]                  # (F, 3, 2)
+    fz = z[faces]                    # (F, 3)
+    face_ok = jnp.all(fz > settings.znear, axis=-1)
+    zbuf, sil = _raster_window(fuv, fz, face_ok, origin, settings)
+    return {"zbuf": zbuf, "sil": sil, "origin": origin}
+
+
+def rasterize_bodies(verts, faces, cam_K, settings: RasterSettings):
+    """vmap of `rasterize_body` over a leading batch axis.
+
+    verts: (B, V, 3) -> zbuf/sil (B, win, win), origin (B, 2).
+    """
+    return jax.vmap(
+        lambda v: rasterize_body(v, faces, cam_K, settings))(verts)
+
+
+def full_image_raster(verts, faces, cam_K, image_size,
+                      face_chunk: int = 256, **kw):
+    """Rasterize the full image (window == image). For tests and small
+    images; production paths use the crop-window API."""
+    W, H = image_size
+    assert W == H, "full_image_raster expects a square image"
+    settings = RasterSettings(image_size=image_size, window=W,
+                              face_chunk=face_chunk, **kw)
+    out = rasterize_body(verts, faces, cam_K, settings)
+    assert out["zbuf"].shape == (H, W)
+    return out
+
+
+def scatter_window_to_image(window_vals, origin, image_size, fill=0.0):
+    """Place a (win, win) window back into a full (H, W) image.
+
+    Utility for visualization/debugging (the optimizer never needs
+    full images).
+    """
+    W, H = image_size
+    win = window_vals.shape[-1]
+    img = jnp.full(window_vals.shape[:-2] + (H, W), fill,
+                   window_vals.dtype)
+    return jax.lax.dynamic_update_slice(
+        img, window_vals,
+        (0,) * (window_vals.ndim - 2) + (origin[1], origin[0])
+        if window_vals.ndim > 2 else (origin[1], origin[0]))

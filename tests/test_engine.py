@@ -1,0 +1,180 @@
+"""Engine tests: init stage + stage-1 cycles on a tiny synthetic
+sequence with a known optimum."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+from mhmocap_tpu.models.smpl import smpl_forward
+from mhmocap_tpu.ops.cameras import project_points, intrinsics_from_fov
+from mhmocap_tpu.engine import optimizer as E
+
+
+@pytest.fixture(scope="module")
+def tiny_problem():
+    """T=8 frames, N=2 people, 64x64 image, V=512 synthetic body."""
+    model = make_synthetic_smpl(num_vertices=512, seed=1)
+    T, N = 8, 2
+    W = H = 64
+    K = intrinsics_from_fov((W, H), 60.0)
+    rng = np.random.RandomState(0)
+
+    poses_T_gt = np.zeros((T, N, 1, 3), np.float32)
+    poses_T_gt[:, 0, 0] = [-0.5, 0.3, 3.0]
+    poses_T_gt[:, 1, 0] = [0.5, 0.3, 4.0]
+    poses_T_gt[..., 0] += 0.05 * rng.randn(T, N, 1)
+
+    poses_smpl = 0.1 * rng.randn(T, N, 72).astype(np.float32)
+    betas = np.zeros((T, N, 10), np.float32)
+
+    out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
+                       jnp.asarray(poses_smpl.reshape(-1, 72)))
+    j3d = np.asarray(out["joints_alphapose"]).reshape(T, N, 17, 3) \
+        + poses_T_gt
+    uv = np.asarray(project_points(jnp.asarray(j3d), jnp.asarray(K)))
+    pose2d = np.concatenate(
+        [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], axis=-1)
+
+    cfg = E.EngineConfig(image_size=(W, H), num_people=N, num_frames=T,
+                         chunk=4, window=32, face_chunk=128)
+    return dict(model=model, cfg=cfg, K=K, pose2d=pose2d,
+                poses_smpl=poses_smpl, betas=betas,
+                poses_T_gt=poses_T_gt)
+
+
+def test_init_stage_recovers_translations(tiny_problem):
+    p = tiny_problem
+    params, hist, opt_scale = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        p["cfg"], num_iter=150)
+    assert opt_scale
+    assert hist.shape == (150,)
+    assert hist[-1] < hist[0] * 0.05, (hist[0], hist[-1])
+    T = p["cfg"].num_frames
+    err = np.abs(np.asarray(params.poses_T)[:T] - p["poses_T_gt"])
+    # depth is weakly constrained from 2D alone, xy should be close
+    assert err[..., 0].mean() < 0.1
+    assert err[..., 1].mean() < 0.1
+    assert err[..., 2].mean() < 0.6
+
+
+def _make_seq_data(p, params):
+    """Build SeqData whose depths/masks come from the GT scene."""
+    from mhmocap_tpu.data.ingestion import SequenceArrays
+    cfg = p["cfg"]
+    T, N = cfg.num_frames, cfg.num_people
+    W, H = cfg.image_size
+    rng = np.random.RandomState(1)
+    depths = np.clip(0.5 + 0.1 * rng.randn(T, H, W), 0, 1).astype(
+        np.float32)
+    seg = np.zeros((T, N, H, W), np.float32)
+    seg[:, 0, 10:40, 5:25] = 1
+    seg[:, 1, 10:40, 35:55] = 1
+    back = np.ones((T, H, W), np.float32)
+    back[:, 10:40, 5:55] = 0
+    seq = SequenceArrays(
+        images=np.zeros((T, H, W, 3), np.uint8),
+        depths=depths,
+        instances=np.zeros((T, H, W), np.uint8),
+        seg_mask=seg,
+        backmasks=back,
+        pose2d=p["pose2d"],
+        cam_smpl=np.zeros((T, N, 3), np.float32),
+        poses_smpl=p["poses_smpl"],
+        betas_smpl=p["betas"],
+        valid_smpl=np.ones((T, N, 1), np.float32),
+        frame_ids=np.arange(T),
+        cam={"K": p["K"], "fov": 60.0, "Kd": None,
+             "image_size": (W, H)},
+    )
+    return E.prepare_seq_data(seq, cfg)
+
+
+def test_stage1_cycle_runs_and_descends(tiny_problem):
+    p = tiny_problem
+    cfg = p["cfg"]
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=50)
+    data = _make_seq_data(p, params)
+    aux = E.init_aux(cfg, p["model"].num_vertices,
+                     jnp.asarray(p["betas"][:1].mean(0, keepdims=True)))
+    coefs = E.default_coefs()
+    opt = E.make_stage1_optimizer()
+    opt_state = opt.init(params)
+
+    losses = []
+    for cycle in range(8):
+        params, opt_state, loss, parts = E.stage1_cycle(
+            params, opt_state, p["model"], data, aux, coefs, cfg)
+        losses.append(float(loss))
+        assert np.isfinite(losses[-1]), (cycle, parts)
+    assert losses[-1] < losses[0], losses
+    # log parts match the documented key order and are finite
+    assert parts.shape == (len(E.LOG_KEYS),)
+    assert np.isfinite(np.asarray(parts)).all()
+
+
+def test_scene_update_and_contact_terms(tiny_problem):
+    p = tiny_problem
+    cfg = p["cfg"]
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=30)
+    data = _make_seq_data(p, params)
+    pcd = E.update_scene(params, data, cfg)
+    W, H = cfg.image_size
+    assert pcd.points.shape == (H * W, 3)
+    assert bool(pcd.valid.any())
+    assert np.isfinite(np.asarray(pcd.depth)).all()
+
+    aux = E.init_aux(cfg, p["model"].num_vertices,
+                     jnp.asarray(p["betas"][:1]))
+    aux = aux._replace(scene=pcd, have_scene=jnp.ones(()))
+    coefs = E.default_coefs()
+    opt = E.make_stage1_optimizer()
+    opt_state = opt.init(params)
+    params2, _, loss, parts = E.stage1_cycle(
+        params, opt_state, p["model"], data, aux, coefs, cfg)
+    # contact + foot sliding terms become active
+    idx_contact = E.LOG_KEYS.index("reg_contact")
+    assert float(parts[idx_contact]) > 0
+    assert np.isfinite(float(loss))
+
+
+def test_filtered_targets_shape_and_effect(tiny_problem):
+    p = tiny_problem
+    cfg = p["cfg"]
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=30)
+    dvf = E.update_filtered_targets(params, p["model"], cfg)
+    assert dvf.shape == (cfg.padded_frames, cfg.num_people,
+                         p["model"].num_vertices, 3)
+    assert dvf.dtype == jnp.bfloat16
+    # frame 0 diff must be zero (no predecessor)
+    assert float(jnp.abs(dvf[0]).max()) == 0.0
+    # diffs should be small (walking motion)
+    assert float(jnp.abs(dvf.astype(jnp.float32)).mean()) < 0.5
+
+
+def test_get_optimized_variables_schema(tiny_problem):
+    p = tiny_problem
+    cfg = p["cfg"]
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=10)
+    T, N = cfg.num_frames, cfg.num_people
+    out = E.get_optimized_variables(
+        params, cfg, np.ones((T, N, 1), np.float32))
+    assert out["poses_T"].shape == (T, N, 1, 3)
+    assert out["poses_smpl"].shape == (T, N, 72)
+    assert out["betas_smpl"].shape == (1, N, 10)
+    assert out["scale_factor"].shape == (1, N, 1, 1)
+    assert out["min_z"].shape == (T, 1, 1)
+    assert out["max_z"].shape == (T, 1, 1)
+    assert (out["max_z"] > out["min_z"]).all()
+    for k in ("scene_depth", "scene_img", "scene_mask"):
+        assert k in out

@@ -1,0 +1,153 @@
+"""End-to-end ingestion tests on a generated synthetic sequence tree
+(exact reference on-disk formats)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mhmocap_tpu.data.synthetic import generate_sequence
+from mhmocap_tpu.data.ingestion import load_sequence, split_instance_masks
+from mhmocap_tpu.data import alphapose as AP
+from mhmocap_tpu.models.smpl import smpl_forward
+
+
+@pytest.fixture(scope="module")
+def seq_tree(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("seq"))
+    gt = generate_sequence(root, num_frames=6, num_people=2,
+                           image_size=(128, 128), num_vertices=512,
+                           mupots_gt=True, seed=3)
+    return root, gt
+
+
+def _joints_fn(model):
+    def fn(betas, poses):
+        out = smpl_forward(model, jnp.asarray(betas), jnp.asarray(poses))
+        return np.asarray(out["joints_alphapose"])
+    return fn
+
+
+def test_load_sequence_shapes_and_alignment(seq_tree):
+    root, gt = seq_tree
+    seq = load_sequence(root, _joints_fn(gt["model"]),
+                        cam_K=gt["cam_K"], resize_factor=1.0,
+                        post_process_depth=False,
+                        renormalize_depth=False)
+    T, N = 6, 2
+    W, H = gt["image_size"]
+    assert seq.num_frames == T and seq.num_people == N
+    assert seq.images.shape == (T, H, W, 3)
+    assert seq.depths.shape == (T, H, W)
+    assert seq.seg_mask.shape == (T, N, H, W)
+    assert seq.pose2d.shape == (T, N, 17, 3)
+    assert seq.poses_smpl.shape == (T, N, 72)
+    assert seq.betas_smpl.shape == (T, N, 10)
+    assert seq.valid_smpl.shape == (T, N, 1)
+    assert (seq.valid_smpl > 0.7).all()
+
+    # the recovered SMPL poses must be the (noisy) GT ones, assigned to
+    # the right tracked person
+    err = np.abs(seq.poses_smpl - gt["poses_smpl"]).mean()
+    assert err < 0.05, err
+
+    # instance masks must be relabeled to match pose index: the mask of
+    # person n should contain its own 2D joints far more than the other
+    for t in range(T):
+        for n in range(N):
+            vis = seq.pose2d[t, n, :, 2] > 0.5
+            xs = np.clip(seq.pose2d[t, n, vis, 0].round().astype(int),
+                         0, W - 1)
+            ys = np.clip(seq.pose2d[t, n, vis, 1].round().astype(int),
+                         0, H - 1)
+            own = seq.seg_mask[t, n, ys, xs].sum()
+            other = seq.seg_mask[t, 1 - n, ys, xs].sum()
+            assert own >= other
+
+    # depth maps: normalized disparity in [0, 1]
+    assert seq.depths.min() >= 0 and seq.depths.max() <= 1.0 + 1e-5
+
+    # camera: resize_factor 1 keeps K
+    np.testing.assert_allclose(seq.cam["K"], gt["cam_K"], atol=1e-4)
+
+
+def test_pose2d_matches_projected_gt(seq_tree):
+    root, gt = seq_tree
+    seq = load_sequence(root, _joints_fn(gt["model"]),
+                        cam_K=gt["cam_K"], resize_factor=1.0,
+                        post_process_depth=False,
+                        renormalize_depth=False)
+    from mhmocap_tpu.ops.cameras import project_points
+    out = smpl_forward(
+        gt["model"],
+        jnp.asarray(np.tile(gt["betas"], (6, 1, 1)).reshape(-1, 10)),
+        jnp.asarray(gt["poses_smpl"].reshape(-1, 72)))
+    j3d = np.asarray(out["joints_alphapose"]).reshape(6, 2, 17, 3) \
+        + gt["poses_T"]
+    uv = np.asarray(project_points(jnp.asarray(j3d),
+                                   jnp.asarray(gt["cam_K"])))
+    vis = seq.pose2d[..., 2] > 0.5
+    err = np.abs(seq.pose2d[..., :2] - uv)[vis].mean()
+    assert err < 1.0, err  # sub-pixel: tracks come from the same GT
+
+
+def test_track_reconciliation_with_dropout(tmp_path):
+    """With detection dropout the tracker must still produce a dense
+    (T, N, 17, 3) array without swapping people."""
+    root = str(tmp_path / "drop")
+    gt = generate_sequence(root, num_frames=10, num_people=2,
+                           image_size=(128, 128), num_vertices=512,
+                           seed=5, track_dropout=0.25)
+    annot = AP.load_tracking_results(
+        os.path.join(root, "AlphaPose", "alphapose-results.json"),
+        coef_thr=0.5)
+    pose2d = AP.tracks_to_array(annot, max_num_people=2)
+    assert pose2d.shape[1:] == (2, 17, 3)
+    # every frame with a detection keeps consistent slots: x positions
+    # of the two people must not cross (they are ~60 px apart)
+    filled = pose2d[..., 2].max(axis=-1) > 0
+    for t in range(len(pose2d)):
+        if filled[t].all():
+            assert (pose2d[t, 0, :, 0].mean()
+                    < pose2d[t, 1, :, 0].mean())
+
+
+def test_split_instance_masks_golden():
+    inst = np.zeros((1, 4, 4), np.uint8)
+    inst[0, 0, 0] = 1
+    inst[0, 1, 1] = 2
+    masks = split_instance_masks(inst, num_classes=3)
+    assert masks.shape == (1, 3, 4, 4)
+    assert masks[0, 0, 0, 0] == 1 and masks[0, 0].sum() == 1
+    assert masks[0, 1, 1, 1] == 1 and masks[0, 1].sum() == 1
+    assert masks[0, 2].sum() == 0
+
+
+def test_smpl_imputation_fills_missing(seq_tree):
+    """Frames with no ROMP detection for a person inherit the nearest
+    valid frame's parameters with valid=0.51."""
+    root, gt = seq_tree
+    from mhmocap_tpu.data.ingestion import assign_smpl_to_poses
+    T, N = 4, 2
+    preds = []
+    rng = np.random.RandomState(0)
+    for t in range(T):
+        # frame 2 misses the second person entirely
+        count = 1 if t == 2 else N
+        preds.append({
+            "cam": np.tile(np.array([[1.0, 0, 0]], np.float32),
+                           (count, 1)),
+            "poses": rng.randn(count, 72).astype(np.float32) * 0.1,
+            "betas": np.zeros((count, 10), np.float32),
+        })
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 2] = 0.9
+    pose2d[..., 0] = np.linspace(30, 90, N)[None, :, None]
+    pose2d[..., 1] = 60
+
+    out, _ = assign_smpl_to_poses(preds, pose2d, (128, 128),
+                                  _joints_fn(gt["model"]))
+    valids = np.stack([out[t]["valid"][:, 0] for t in range(T)])
+    assert (valids[2] >= 0.5).all()
+    assert (valids != 0).all()
