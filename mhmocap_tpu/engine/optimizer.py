@@ -355,40 +355,80 @@ LOG_KEYS = ("loss_pose24j", "loss_depth", "loss_silhouette",
             "reg_foot_sliding", "reg_vel", "reg_filter_verts")
 
 
-def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
-                aux: StageAux, coefs: Dict[str, jax.Array],
-                cfg: EngineConfig, chunk_idx):
-    """Loss of one frame chunk [t0, t0+C) with a 1-frame halo for the
-    temporal couplings. Returns (scalar loss, parts dict)."""
+class ChunkInputs(NamedTuple):
+    """All tensors of one frame chunk [t0, t0+C) with a 1-frame halo
+    (leading element of *_h arrays is frame t0-1). Built either by
+    `_slice_chunk` (single device) or from local shards + ppermute
+    halo exchange (parallel/spmd.py)."""
+
+    poses_T_h: jax.Array       # (C+1, N, 1, 3)
+    poses_smpl_h: jax.Array    # (C+1, N, 72)
+    min_z_c: jax.Array         # (C, 1, 1)
+    max_z_c: jax.Array         # (C, 1, 1)
+    depths_c: jax.Array        # (C, H, W)
+    seg_c: jax.Array           # (C, N, H, W) f32
+    pose2d_c: jax.Array        # (C, N, 17, 3)
+    ref_poses_c: jax.Array     # (C, N, 72)
+    valid_smpl_c: jax.Array    # (C, N, 1)
+    frame_valid_h: jax.Array   # (C+1,)
+    global_t: jax.Array        # (C,) int
+    dvf_c: jax.Array           # (C, N, V, 3) bf16 filtered-diff targets
+
+
+def _slice_chunk(params: StageParams, data: SeqData, aux: StageAux,
+                 cfg: EngineConfig, chunk_idx) -> ChunkInputs:
+    """Gather one chunk's tensors from the full-sequence arrays."""
+    C = cfg.chunk
+    t0 = chunk_idx * C
+    halo_idx = jnp.clip(t0 - 1 + jnp.arange(C + 1), 0, None)
+    take = lambda arr: jnp.take(arr, halo_idx, axis=0)
+    takec = lambda arr: lax.dynamic_slice_in_dim(arr, t0, C, axis=0)
+    min_z, max_z = z_bounds_of(params, cfg)
+    return ChunkInputs(
+        poses_T_h=take(params.poses_T),
+        poses_smpl_h=take(params.poses_smpl),
+        min_z_c=takec(min_z),
+        max_z_c=takec(max_z),
+        depths_c=takec(data.depths),
+        seg_c=takec(data.seg_mask).astype(jnp.float32),
+        pose2d_c=takec(data.pose2d),
+        ref_poses_c=takec(data.poses_smpl_ref),
+        valid_smpl_c=takec(data.valid_smpl),
+        frame_valid_h=take(data.frame_valid),
+        global_t=t0 + jnp.arange(C),
+        dvf_c=takec(aux.verts_filt_diff),
+    )
+
+
+def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
+                     betas: jax.Array, scale: jax.Array,
+                     cam_K: jax.Array, aux: StageAux,
+                     coefs: Dict[str, jax.Array], cfg: EngineConfig):
+    """Loss of one frame chunk. Returns (scalar loss, parts vector).
+
+    Includes all per-frame terms plus the temporal pairs (velocity,
+    filtered-verts smoothness, foot sliding) of this chunk's frames
+    against their predecessors, so the total over chunks covers every
+    consecutive-frame pair exactly once.
+    """
     C = cfg.chunk
     N = cfg.num_people
     W, H = cfg.image_size
-    t0 = chunk_idx * C
-    halo_idx = jnp.clip(t0 - 1 + jnp.arange(C + 1), 0, None)
 
-    take = lambda arr: jnp.take(arr, halo_idx, axis=0)
-    takec = lambda arr: lax.dynamic_slice_in_dim(arr, t0, C, axis=0)
-
-    poses_T_h = take(params.poses_T)              # (C+1, N, 1, 3)
-    poses_smpl_h = take(params.poses_smpl)        # (C+1, N, 72)
-    scale = scale_factor_of(params)
-    min_z, max_z = z_bounds_of(params, cfg)
-    min_z_c, max_z_c = takec(min_z), takec(max_z)
-
-    depths_c = takec(data.depths)                 # (C, H, W)
-    seg_c = takec(data.seg_mask).astype(jnp.float32)   # (C, N, H, W)
-    pose2d_c = takec(data.pose2d)
-    ref_poses_c = takec(data.poses_smpl_ref)
-    valid_smpl_c = takec(data.valid_smpl)
-    frame_valid_h = take(data.frame_valid)        # (C+1,)
+    poses_T_h = chunk.poses_T_h
+    poses_smpl_h = chunk.poses_smpl_h
+    min_z_c, max_z_c = chunk.min_z_c, chunk.max_z_c
+    depths_c, seg_c = chunk.depths_c, chunk.seg_c
+    pose2d_c, ref_poses_c = chunk.pose2d_c, chunk.ref_poses_c
+    valid_smpl_c = chunk.valid_smpl_c
+    frame_valid_h = chunk.frame_valid_h
     frame_valid_c = frame_valid_h[1:]
     # pair (t-1, t) valid: both frames real and t > 0 globally
-    global_t = t0 + jnp.arange(C)
     pair_valid = (frame_valid_h[:-1] * frame_valid_c
-                  * (global_t > 0))               # (C,)
+                  * (chunk.global_t > 0))         # (C,)
 
     verts_abs_h, joints_abs_h = _smpl_bodies(
-        model, poses_smpl_h, params.betas, scale, poses_T_h)
+        model, poses_smpl_h, betas, scale, poses_T_h)
     verts_abs = verts_abs_h[1:]                   # (C, N, V, 3)
     joints_abs = joints_abs_h[1:]
 
@@ -405,7 +445,7 @@ def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
     # --- 2D keypoint loss (optimizer.py:414-420) ---
     kd = (None if cfg.cam_dist_coef is None
           else jnp.asarray(cfg.cam_dist_coef))
-    proj = project_points(joints_abs, data.cam_K, dist_coef=kd)
+    proj = project_points(joints_abs, cam_K, dist_coef=kd)
     norm = jnp.asarray([W, H], jnp.float32)
     w2d = conf_ok * fv[..., None, None]
     loss_pose = jnp.sum(jnp.square(w2d * (proj - pose2d_c[..., :2])
@@ -413,7 +453,7 @@ def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
 
     # --- rasterize all bodies of the chunk ---
     raster = rasterize_bodies(verts_abs.reshape(C * N, -1, 3),
-                              model.faces, data.cam_K,
+                              model.faces, cam_K,
                               cfg.raster_settings)
     win = cfg.window
     zbuf = raster["zbuf"].reshape(C, N, win, win)
@@ -467,11 +507,12 @@ def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
     loss_sil = jnp.sum(sil_gate * (in_win + outside) / n_keep)
 
     # --- contact + foot sliding (optimizer.py:485-518) ---
+    poses_T_c = poses_T_h[1:]
     low, cdist, target_T = contact_targets(
-        verts_abs, takec(params.poses_T), aux.scene, k=cfg.knn,
+        verts_abs, poses_T_c, aux.scene, k=cfg.knn,
         offset=cfg.contact_offset)
     reg_contact = aux.have_scene * jnp.sum(
-        fv[..., None, None] * jnp.abs(takec(params.poses_T) - target_T))
+        fv[..., None, None] * jnp.abs(poses_T_c - target_T))
 
     in_contact = (cdist > -cfg.contact_thr).astype(jnp.float32)  # (C,N,1,1)
     # previous-frame verts at the CURRENT frame's lowest-vertex index
@@ -486,16 +527,20 @@ def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
     # --- SMPL parameter regularization (optimizer.py:523-526) ---
     w_ref = valid_smpl_c * fv[..., None]          # (C, N, 1)
     reg_ref = jnp.sum(jnp.abs(
-        w_ref * (ref_poses_c - takec(params.poses_smpl))))
+        w_ref * (ref_poses_c - poses_smpl_h[1:])))
     reg_ref = reg_ref + jnp.sum(frame_valid_c) * jnp.sum(
-        jnp.abs(params.betas - aux.betas_ref))
+        jnp.abs(betas - aux.betas_ref))
 
     # --- filtered-verts smoothness (optimizer.py:563-574), computed
     # in-chunk against the precomputed filtered-diff targets ---
-    dvf = takec(aux.verts_filt_diff).astype(jnp.float32)
+    dvf = chunk.dvf_c.astype(jnp.float32)
     gv_diff = verts_abs - verts_abs_h[:-1]
     reg_filter_verts = aux.have_filters * jnp.sum(
         jnp.square(pv * (gv_diff - dvf)))
+
+    # --- velocity regularizer on this chunk's pairs (optimizer.py:560)
+    reg_vel = jnp.sum(jnp.square(
+        pv * (poses_T_h[1:] - poses_T_h[:-1])))
 
     loss = (coefs["proj2d"] * loss_pose
             + coefs["depth"] * loss_depth
@@ -503,19 +548,40 @@ def _chunk_loss(params: StageParams, model: SMPLModel, data: SeqData,
             + coefs["reg_poses"] * reg_ref
             + coefs["reg_contact"] * reg_contact
             + coefs["reg_foot_sliding"] * reg_foot_sliding
-            + coefs["reg_verts_filter"] * reg_filter_verts)
+            + coefs["reg_verts_filter"] * reg_filter_verts
+            + coefs["reg_velocity"] * reg_vel)
     parts = jnp.stack([loss_pose, loss_depth, loss_sil, reg_ref,
                        jnp.zeros(()), reg_contact, reg_foot_sliding,
-                       jnp.zeros(()), reg_filter_verts])
+                       reg_vel, reg_filter_verts])
     return loss, parts
+
+
+def _scale_reg(params: StageParams, coefs, cfg: EngineConfig):
+    """Scale regularization, once per epoch scaled to the reference's
+    per-batch accounting (optimizer.py:531-539 runs per batch of
+    `batch_size_ref` frames)."""
+    scale = scale_factor_of(params)
+    n_batches = cfg.num_frames / cfg.batch_size_ref
+    reg_scale_avg = jnp.square(jnp.sum(scale - 1.0))
+    reg_scale_person = jnp.mean(jnp.square(scale - 1.0))
+    loss = n_batches * (coefs["reg_scales"] * reg_scale_person
+                        + (coefs["reg_scales"] > 0) * reg_scale_avg)
+    logged = n_batches * (reg_scale_avg + reg_scale_person)
+    return loss, logged
 
 
 def _cycle_loss(params: StageParams, model: SMPLModel, data: SeqData,
                 aux: StageAux, coefs, cfg: EngineConfig):
-    """Full-sequence loss: scanned chunks + global temporal terms."""
+    """Full-sequence loss: scanned chunks + global scale term."""
+    scale = scale_factor_of(params)
+
+    def chunk_fn(p, i):
+        chunk = _slice_chunk(p, data, aux, cfg, i)
+        return _chunk_loss_core(chunk, model, p.betas, scale,
+                                data.cam_K, aux, coefs, cfg)
+
     chunk_fn = jax.checkpoint(
-        lambda p, i: _chunk_loss(p, model, data, aux, coefs, cfg, i),
-        policy=jax.checkpoint_policies.nothing_saveable)
+        chunk_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
     def body(carry, i):
         acc_loss, acc_parts = carry
@@ -526,27 +592,9 @@ def _cycle_loss(params: StageParams, model: SMPLModel, data: SeqData,
         body, (jnp.zeros(()), jnp.zeros((len(LOG_KEYS),))),
         jnp.arange(cfg.num_chunks))
 
-    # velocity regularizer over the whole sequence (optimizer.py:560)
-    fv = data.frame_valid
-    pairv = (fv[1:] * fv[:-1])[:, None, None, None]
-    reg_vel = jnp.sum(jnp.square(
-        pairv * (params.poses_T[1:] - params.poses_T[:-1])))
-    loss = loss + coefs["reg_velocity"] * reg_vel
-
-    # scale regularization, once per epoch scaled to the reference's
-    # per-batch accounting (optimizer.py:531-539 runs per batch of
-    # `batch_size_ref` frames)
-    scale = scale_factor_of(params)
-    n_batches = cfg.num_frames / cfg.batch_size_ref
-    reg_scale_avg = jnp.square(jnp.sum(scale - 1.0))
-    reg_scale_person = jnp.mean(jnp.square(scale - 1.0))
-    reg_scale = n_batches * (coefs["reg_scales"] * reg_scale_person
-                             + (coefs["reg_scales"] > 0) * reg_scale_avg)
+    reg_scale, logged = _scale_reg(params, coefs, cfg)
     loss = loss + reg_scale
-
-    parts = parts.at[4].set(n_batches * (reg_scale_avg
-                                         + reg_scale_person))
-    parts = parts.at[7].set(reg_vel)
+    parts = parts.at[4].set(logged)
     return loss, parts
 
 

@@ -127,8 +127,10 @@ def make_synthetic_smpl(
         v1 = (r + n_bones) * ring
         for k in range(ring):
             k2 = (k + 1) % ring
-            faces.append([v0 + k, v1 + k, v0 + k2])
-            faces.append([v0 + k2, v1 + k, v1 + k2])
+            # winding chosen so normals point outward (needed by the
+            # rasterizer's backface culling)
+            faces.append([v0 + k, v0 + k2, v1 + k])
+            faces.append([v0 + k2, v1 + k2, v1 + k])
     faces = np.asarray(faces, dtype=np.int32).reshape(-1, 3)
     if num_faces is not None:
         if len(faces) >= num_faces:

@@ -36,6 +36,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple, Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -45,11 +46,28 @@ from .cameras import project_points
 class RasterSettings(NamedTuple):
     image_size: Tuple[int, int]      # (W, H)
     window: int = 128                # crop window side, pixels
-    face_chunk: int = 256            # faces per scan step
+    face_chunk: int = 128            # faces per scan step
     blur_ndc_depth: float = 1e-4     # reference optimizer.py:213
     blur_ndc_sil: float = 2e-5       # reference optimizer.py:223
     znear: float = 1.0
     zfar: float = 100.0
+    # Tiled path: bin faces to tile*tile pixel tiles, keeping only the
+    # `faces_per_tile` nearest faces whose (blur-expanded) bbox
+    # overlaps each tile. ~50x less pair work than brute force at the
+    # SMPL face count; exact wherever a tile's overlapping-face count
+    # is below the cap (z-nearest faces are kept, so the front surface
+    # always survives).
+    use_tiles: bool = True
+    tile: int = 4
+    faces_per_tile: int = 512
+    tile_chunk: int = 64             # gathered faces per scan step
+    # Cull faces clearly facing away from the camera during binning
+    # (outward-normal test with a grazing margin). They can win neither
+    # the z-buffer (closed mesh) nor the silhouette soft edge, and
+    # culling halves the tile occupancy. Disable for meshes with
+    # inconsistent winding.
+    backface_cull: bool = False
+    grazing_margin: float = 0.5      # keep faces within this cos-angle
 
     @property
     def sil_blur_px2(self) -> float:
@@ -189,6 +207,112 @@ def _raster_window(fuv, fz, face_ok, origin, settings: RasterSettings):
     return zbuf, sil
 
 
+def _bin_faces_to_tiles(fuv_local, fz, face_ok,
+                        settings: RasterSettings):
+    """Per-tile nearest-K overlapping face indices.
+
+    fuv_local: (F, 3, 2) face verts in window-local pixel coords.
+    Returns (idx (NT, K) int32, valid (NT, K) bool) with NT =
+    (win/tile)^2 tiles in row-major (ty, tx) order. Selection is by
+    smallest face z among faces whose bbox (expanded by the soft-blur
+    reach) overlaps the tile — the z-buffer front surface and the
+    silhouette band are preserved; only saturated interior/backside
+    faces can be dropped when a tile exceeds the cap.
+    """
+    win, tile = settings.window, settings.tile
+    nt = win // tile
+    K = min(settings.faces_per_tile, fuv_local.shape[0])
+    # ~3 sigma of the silhouette soft edge, in pixels
+    reach = 3.0 * float(np.sqrt(settings.sil_blur_px2)) + 1.0
+
+    lo = jnp.min(fuv_local, axis=1) - reach       # (F, 2)
+    hi = jnp.max(fuv_local, axis=1) + reach
+    tx0 = jnp.arange(nt, dtype=fuv_local.dtype) * tile   # tile x starts
+    # overlap test per (tile_axis, face): bbox vs [t0, t0 + tile)
+    ovx = (lo[None, :, 0] < tx0[:, None] + tile) & \
+          (hi[None, :, 0] >= tx0[:, None])        # (nt, F)
+    ovy = (lo[None, :, 1] < tx0[:, None] + tile) & \
+          (hi[None, :, 1] >= tx0[:, None])        # (nt, F)
+    overlap = ovy[:, None, :] & ovx[None, :, :]   # (nty, ntx, F)
+    overlap = overlap.reshape(nt * nt, -1) & face_ok[None]
+
+    zmin = jnp.min(fz, axis=-1)                   # (F,)
+    priority = jnp.where(overlap, -zmin[None], -jnp.inf)
+    neg_key, idx = jax.lax.top_k(priority, K)     # (NT, K)
+    valid = jnp.isfinite(neg_key)
+    return jax.lax.stop_gradient(idx), valid
+
+
+def _raster_window_tiled(fuv, fz, face_ok, origin,
+                         settings: RasterSettings):
+    """Tile-binned rasterization of one body's crop window.
+
+    Same outputs as `_raster_window`, ~50x less pair work: each
+    tile*tile pixel block only evaluates its own nearest-K overlapping
+    faces, gathered per scan step.
+    """
+    win, tile = settings.window, settings.tile
+    nt = win // tile
+    NT = nt * nt
+    assert win % tile == 0
+
+    fuv_local = fuv - origin.astype(fuv.dtype)    # window-local coords
+    idx, valid = _bin_faces_to_tiles(
+        jax.lax.stop_gradient(fuv_local), jax.lax.stop_gradient(fz),
+        face_ok, settings)
+    K = idx.shape[1]
+    kc = min(settings.tile_chunk, K)
+    pad = (-K) % kc
+    if pad:
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((NT, pad), idx.dtype)], axis=1)
+        valid = jnp.concatenate(
+            [valid, jnp.zeros((NT, pad), bool)], axis=1)
+        K += pad
+
+    # per-tile pixel centers, window-local: (NT, tile*tile)
+    t_idx = jnp.arange(NT)
+    ty0 = (t_idx // nt * tile).astype(fuv.dtype)
+    tx0 = (t_idx % nt * tile).astype(fuv.dtype)
+    off = jnp.arange(tile, dtype=fuv.dtype) + 0.5
+    oy, ox = jnp.meshgrid(off, off, indexing="ij")  # [r,c] = off[r|c]
+    px = tx0[:, None, None] + ox.reshape(1, tile * tile, 1)
+    py = ty0[:, None, None] + oy.reshape(1, tile * tile, 1)
+
+    inv_blur = 1.0 / settings.sil_blur_px2
+
+    def chunk_step(carry, inp):
+        zmin_acc, logkeep = carry
+        cidx, cok = inp               # (NT, kc), (NT, kc)
+        cuv = fuv_local[cidx]         # (NT, kc, 3, 2)
+        cz = fz[cidx]                 # (NT, kc, 3)
+        ok = cok & jnp.all(cz > settings.znear, axis=-1)
+        tri = cuv[:, None]            # (NT, 1, kc, 3, 2)
+        d2s, inside = _point_triangle_signed_d2(px, py, tri)
+        zi = _barycentric_z(px, py, tri, cz[:, None])
+        covered = inside & ok[:, None] & (zi > settings.znear)
+        zmin_acc = jnp.minimum(
+            zmin_acc, jnp.min(jnp.where(covered, zi, jnp.inf), axis=-1))
+        ls = jax.nn.log_sigmoid(d2s * inv_blur)
+        logkeep = logkeep + jnp.sum(
+            jnp.where(ok[:, None], ls, 0.0), axis=-1)
+        return (zmin_acc, logkeep), None
+
+    init = (jnp.full((NT, tile * tile), jnp.inf, fuv.dtype),
+            jnp.zeros((NT, tile * tile), fuv.dtype))
+    n_steps = K // kc
+    (zbuf_t, logkeep_t), _ = jax.lax.scan(
+        jax.checkpoint(chunk_step), init,
+        (idx.reshape(NT, n_steps, kc).transpose(1, 0, 2),
+         valid.reshape(NT, n_steps, kc).transpose(1, 0, 2)))
+
+    def untile(x):
+        return x.reshape(nt, nt, tile, tile).transpose(
+            0, 2, 1, 3).reshape(win, win)
+
+    return untile(zbuf_t), untile(1.0 - jnp.exp(logkeep_t))
+
+
 def rasterize_body(verts, faces, cam_K, settings: RasterSettings):
     """Depth + silhouette raster of one body on its crop window.
 
@@ -204,7 +328,23 @@ def rasterize_body(verts, faces, cam_K, settings: RasterSettings):
     fuv = uv[faces]                  # (F, 3, 2)
     fz = z[faces]                    # (F, 3)
     face_ok = jnp.all(fz > settings.znear, axis=-1)
-    zbuf, sil = _raster_window(fuv, fz, face_ok, origin, settings)
+    if settings.use_tiles and settings.window % settings.tile == 0:
+        bin_ok = face_ok
+        if settings.backface_cull:
+            tri3 = verts[faces]      # (F, 3, 3) camera space
+            n = jnp.cross(tri3[:, 1] - tri3[:, 0],
+                          tri3[:, 2] - tri3[:, 0])
+            c = jnp.mean(tri3, axis=1)
+            cosang = (jnp.sum(n * c, axis=-1)
+                      / jnp.clip(jnp.linalg.norm(n, axis=-1)
+                                 * jnp.linalg.norm(c, axis=-1), 1e-9))
+            # outward normals: facing-away faces have cos > 0; keep a
+            # grazing band so silhouette-edge faces survive
+            bin_ok = bin_ok & (cosang < settings.grazing_margin)
+        zbuf, sil = _raster_window_tiled(fuv, fz, bin_ok, origin,
+                                         settings)
+    else:
+        zbuf, sil = _raster_window(fuv, fz, face_ok, origin, settings)
     return {"zbuf": zbuf, "sil": sil, "origin": origin}
 
 

@@ -1,0 +1,197 @@
+"""Frame-axis SPMD execution over a `jax.sharding.Mesh`.
+
+The reference is strictly single-GPU (survey §2.3: no distributed code
+anywhere); this module is the TPU-native scaling story: the space-time
+optimization shards the TIME axis across devices — the analog of
+context parallelism for this workload (survey §5 'long-context'):
+
+  * per-frame losses (SMPL forward, rasterization, depth/silhouette)
+    are embarrassingly parallel over frames -> each device runs the
+    chunked scan over its local frames only;
+  * temporal couplings (velocity, filtered-verts smoothness, foot
+    sliding) need exactly ONE halo frame: each device receives its
+    left neighbor's last frame via `lax.ppermute` (ICI), and autodiff
+    transposes the permute to route the halo gradients back;
+  * gradients of time-shared variables (betas, per-person scale) and
+    the scalar loss are combined with `lax.psum`;
+  * the optimizer update runs on the sharded parameters directly
+    (elementwise, no communication).
+
+The scene point cloud and camera are replicated (tens of MB, read
+only). `padded_frames` must be divisible by (devices * chunk).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..engine import optimizer as E
+from ..models.smpl import SMPLModel
+
+TIME_AXIS = "t"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (TIME_AXIS,))
+
+
+def _params_specs() -> E.StageParams:
+    return E.StageParams(
+        poses_T=P(TIME_AXIS), poses_smpl=P(TIME_AXIS),
+        betas=P(), zmin_lin=P(TIME_AXIS), zmax_lin=P(TIME_AXIS),
+        xscale=P())
+
+
+def _data_specs() -> E.SeqData:
+    return E.SeqData(
+        depths=P(TIME_AXIS), seg_mask=P(TIME_AXIS),
+        backmask=P(TIME_AXIS), pose2d=P(TIME_AXIS),
+        poses_smpl_ref=P(TIME_AXIS), valid_smpl=P(TIME_AXIS),
+        frame_valid=P(TIME_AXIS), cam_K=P())
+
+
+def _aux_specs() -> E.StageAux:
+    from ..engine.scene import ScenePointCloud
+    return E.StageAux(
+        betas_ref=P(),
+        scene=ScenePointCloud(points=P(), valid=P(), depth=P(),
+                              depth_valid=P()),
+        have_scene=P(),
+        verts_filt_diff=P(TIME_AXIS),
+        have_filters=P())
+
+
+def shard_params(params: E.StageParams, mesh: Mesh) -> E.StageParams:
+    return jax.device_put(params, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), _params_specs()))
+
+
+def shard_data(data: E.SeqData, mesh: Mesh) -> E.SeqData:
+    return jax.device_put(data, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), _data_specs()))
+
+
+def shard_aux(aux: E.StageAux, mesh: Mesh) -> E.StageAux:
+    return jax.device_put(aux, jax.tree.map(
+        lambda s: NamedSharding(mesh, s), _aux_specs()))
+
+
+def _halo_from_left(x_local: jax.Array, mesh: Mesh) -> jax.Array:
+    """Receive the left neighbor's last frame: shift +1 around the
+    ring; device 0 receives device D-1's frame, which is masked out by
+    the global_t > 0 pair gate."""
+    n = mesh.shape[TIME_AXIS]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    return lax.ppermute(x_local[-1:], TIME_AXIS, perm)
+
+
+def spmd_cycle_loss(params, model, data, aux, coefs,
+                    cfg: E.EngineConfig, mesh: Mesh):
+    """Full-sequence loss as a shard_map over the time axis."""
+    n_dev = mesh.shape[TIME_AXIS]
+    assert cfg.padded_frames % (n_dev * cfg.chunk) == 0, (
+        f"padded_frames {cfg.padded_frames} must divide into "
+        f"{n_dev} devices x chunk {cfg.chunk}")
+    local_chunks = cfg.padded_frames // (n_dev * cfg.chunk)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(_params_specs(), None, _data_specs(), _aux_specs(),
+                  P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    def local_loss(params_l, model, data_l, aux_l, coefs_l):
+        C = cfg.chunk
+        dev = lax.axis_index(TIME_AXIS)
+        t_base = dev * local_chunks * C
+
+        # halo: previous frame of each local block from the left
+        # neighbor (ICI ring shift)
+        halo = {
+            "poses_T": _halo_from_left(params_l.poses_T, mesh),
+            "poses_smpl": _halo_from_left(params_l.poses_smpl, mesh),
+            "frame_valid": _halo_from_left(data_l.frame_valid, mesh),
+        }
+        poses_T_x = jnp.concatenate([halo["poses_T"],
+                                     params_l.poses_T], axis=0)
+        poses_smpl_x = jnp.concatenate([halo["poses_smpl"],
+                                        params_l.poses_smpl], axis=0)
+        fv_x = jnp.concatenate([halo["frame_valid"],
+                                data_l.frame_valid], axis=0)
+
+        scale = E.scale_factor_of(params_l)
+        min_z, max_z = E.z_bounds_of(params_l, cfg)
+
+        def chunk_inputs(i):
+            t0 = i * C
+            sl = lambda a: lax.dynamic_slice_in_dim(a, t0, C, axis=0)
+            slh = lambda a: lax.dynamic_slice_in_dim(a, t0, C + 1,
+                                                     axis=0)
+            return E.ChunkInputs(
+                poses_T_h=slh(poses_T_x),
+                poses_smpl_h=slh(poses_smpl_x),
+                min_z_c=sl(min_z), max_z_c=sl(max_z),
+                depths_c=sl(data_l.depths),
+                seg_c=sl(data_l.seg_mask).astype(jnp.float32),
+                pose2d_c=sl(data_l.pose2d),
+                ref_poses_c=sl(data_l.poses_smpl_ref),
+                valid_smpl_c=sl(data_l.valid_smpl),
+                frame_valid_h=slh(fv_x),
+                global_t=t_base + t0 + jnp.arange(C),
+                dvf_c=sl(aux_l.verts_filt_diff),
+            )
+
+        def chunk_fn(i):
+            return E._chunk_loss_core(
+                chunk_inputs(i), model, params_l.betas, scale,
+                data_l.cam_K, aux_l, coefs_l, cfg)
+
+        chunk_fn = jax.checkpoint(
+            chunk_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
+        def body(carry, i):
+            acc_l, acc_p = carry
+            l, p = chunk_fn(i)
+            return (acc_l + l, acc_p + p), None
+
+        (loss_l, parts_l), _ = lax.scan(
+            body, (jnp.zeros(()), jnp.zeros((len(E.LOG_KEYS),))),
+            jnp.arange(local_chunks))
+        return (lax.psum(loss_l, TIME_AXIS),
+                lax.psum(parts_l, TIME_AXIS))
+
+    loss, parts = local_loss(params, model, data, aux, coefs)
+    reg_scale, logged = E._scale_reg(params, coefs, cfg)
+    return loss + reg_scale, parts.at[4].set(logged)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "optimize_scale"),
+                   donate_argnums=(0, 1))
+def spmd_stage1_cycle(params, opt_state, model, data, aux, coefs,
+                      cfg: E.EngineConfig, mesh: Mesh,
+                      optimize_scale: bool = True):
+    """One sharded optimization cycle (the multi-chip counterpart of
+    engine.optimizer.stage1_cycle)."""
+    opt = E.make_stage1_optimizer()
+
+    def loss_fn(p):
+        return spmd_cycle_loss(p, model, data, aux, coefs, cfg, mesh)
+
+    (loss, parts), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    if not optimize_scale:
+        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, parts

@@ -1,0 +1,138 @@
+"""Sharded-execution tests on a virtual 8-device CPU mesh: the SPMD
+cycle must agree with the single-device cycle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mhmocap_tpu.engine import optimizer as E
+from mhmocap_tpu.parallel import spmd
+from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+from mhmocap_tpu.models.smpl import smpl_forward
+from mhmocap_tpu.ops.cameras import project_points, intrinsics_from_fov
+
+
+@pytest.fixture(scope="module")
+def spmd_problem():
+    model = make_synthetic_smpl(num_vertices=256, seed=2)
+    T, N = 16, 2
+    W = H = 32
+    K = intrinsics_from_fov((W, H), 60.0)
+    rng = np.random.RandomState(0)
+
+    poses_smpl = 0.05 * rng.randn(T, N, 72).astype(np.float32)
+    betas = np.zeros((T, N, 10), np.float32)
+    poses_T_gt = np.zeros((T, N, 1, 3), np.float32)
+    poses_T_gt[:, :, 0, 2] = 3.0
+    poses_T_gt[:, 0, 0, 0] = -0.4
+    poses_T_gt[:, 1, 0, 0] = 0.4
+    out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
+                       jnp.asarray(poses_smpl.reshape(-1, 72)))
+    j3d = np.asarray(out["joints_alphapose"]).reshape(T, N, 17, 3) \
+        + poses_T_gt
+    uv = np.asarray(project_points(jnp.asarray(j3d), jnp.asarray(K)))
+    pose2d = np.concatenate(
+        [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
+
+    # chunk=2 so 16 frames = 8 devices x 1 chunk
+    cfg = E.EngineConfig(image_size=(W, H), num_people=N, num_frames=T,
+                         chunk=2, window=16, face_chunk=64)
+    params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
+                                 cfg, num_iter=20)
+
+    from mhmocap_tpu.data.ingestion import SequenceArrays
+    seg = np.zeros((T, N, H, W), np.float32)
+    seg[:, 0, 8:24, 4:14] = 1
+    seg[:, 1, 8:24, 18:28] = 1
+    seq = SequenceArrays(
+        images=np.zeros((T, H, W, 3), np.uint8),
+        depths=np.clip(0.5 + 0.1 * rng.randn(T, H, W), 0, 1).astype(
+            np.float32),
+        instances=np.zeros((T, H, W), np.uint8),
+        seg_mask=seg,
+        backmasks=1.0 - seg.max(axis=1),
+        pose2d=pose2d,
+        cam_smpl=np.zeros((T, N, 3), np.float32),
+        poses_smpl=poses_smpl,
+        betas_smpl=betas,
+        valid_smpl=np.ones((T, N, 1), np.float32),
+        frame_ids=np.arange(T),
+        cam={"K": K, "fov": 60.0, "Kd": None, "image_size": (W, H)},
+    )
+    data = E.prepare_seq_data(seq, cfg)
+    aux = E.init_aux(cfg, model.num_vertices,
+                     jnp.asarray(betas[:1].mean(0, keepdims=True)))
+    return dict(model=model, cfg=cfg, params=params, data=data,
+                aux=aux, coefs=E.default_coefs())
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_spmd_loss_matches_single_device(spmd_problem):
+    p = spmd_problem
+    mesh = spmd.make_mesh()
+    loss_1d, parts_1d = E._cycle_loss(
+        p["params"], p["model"], p["data"], p["aux"], p["coefs"],
+        p["cfg"])
+
+    params_s = spmd.shard_params(p["params"], mesh)
+    data_s = spmd.shard_data(p["data"], mesh)
+    aux_s = spmd.shard_aux(p["aux"], mesh)
+    loss_8d, parts_8d = jax.jit(
+        lambda pa, d, a: spmd.spmd_cycle_loss(
+            pa, p["model"], d, a, p["coefs"], p["cfg"], mesh),
+    )(params_s, data_s, aux_s)
+
+    np.testing.assert_allclose(float(loss_8d), float(loss_1d),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(parts_8d),
+                               np.asarray(parts_1d), rtol=2e-3,
+                               atol=1e-5)
+
+
+def test_spmd_cycle_step_matches_single_device(spmd_problem):
+    p = spmd_problem
+    mesh = spmd.make_mesh()
+    opt = E.make_stage1_optimizer()
+
+    params_1, os_1, loss_1, _ = E.stage1_cycle(
+        jax.tree.map(jnp.copy, p["params"]), opt.init(p["params"]),
+        p["model"], p["data"], p["aux"], p["coefs"], p["cfg"])
+
+    params_s = spmd.shard_params(jax.tree.map(jnp.copy, p["params"]),
+                                 mesh)
+    data_s = spmd.shard_data(p["data"], mesh)
+    aux_s = spmd.shard_aux(p["aux"], mesh)
+    params_8, os_8, loss_8, _ = spmd.spmd_stage1_cycle(
+        params_s, opt.init(params_s), p["model"], data_s, aux_s,
+        p["coefs"], p["cfg"], mesh)
+
+    np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(params_8.poses_T), np.asarray(params_1.poses_T),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_8.betas), np.asarray(params_1.betas),
+        atol=5e-5)
+    # sharding preserved on outputs
+    assert params_8.poses_T.sharding.spec == spmd._params_specs().poses_T
+
+
+def test_spmd_multiple_steps_descend(spmd_problem):
+    p = spmd_problem
+    mesh = spmd.make_mesh()
+    opt = E.make_stage1_optimizer()
+    params = spmd.shard_params(p["params"], mesh)
+    data_s = spmd.shard_data(p["data"], mesh)
+    aux_s = spmd.shard_aux(p["aux"], mesh)
+    opt_state = opt.init(params)
+    losses = []
+    for _ in range(4):
+        params, opt_state, loss, _ = spmd.spmd_stage1_cycle(
+            params, opt_state, p["model"], data_s, aux_s, p["coefs"],
+            p["cfg"], mesh)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
