@@ -34,6 +34,35 @@ def io_mkdir(path: str):
     os.makedirs(path, exist_ok=True)
 
 
+def _make_checkpoint_manager(path: str):
+    """Orbax checkpoint manager for (params, opt_state) pytrees.
+
+    The reference has no optimizer-state checkpointing (survey §5 —
+    its stage pickles are the only restart points); on TPU pods the
+    cycle loop checkpoints every K cycles so preemptions resume
+    mid-stage."""
+    import orbax.checkpoint as ocp
+    return ocp.CheckpointManager(
+        os.path.abspath(path),
+        options=ocp.CheckpointManagerOptions(max_to_keep=2,
+                                             create=True))
+
+
+def _save_checkpoint(mgr, step: int, params, opt_state):
+    import orbax.checkpoint as ocp
+    mgr.save(step, args=ocp.args.Composite(
+        params=ocp.args.StandardSave(params),
+        opt_state=ocp.args.StandardSave(opt_state)))
+
+
+def _restore_checkpoint(mgr, step: int, params_like, opt_state_like):
+    import orbax.checkpoint as ocp
+    restored = mgr.restore(step, args=ocp.args.Composite(
+        params=ocp.args.StandardRestore(params_like),
+        opt_state=ocp.args.StandardRestore(opt_state_like)))
+    return restored["params"], restored["opt_state"]
+
+
 class Predictor:
     """Run the two-stage optimization for one ingested sequence."""
 
@@ -123,7 +152,9 @@ class Predictor:
     # ------------------------------------------------------------------
     def fit(self, params: E.StageParams, optimize_scale: bool,
             verbose: bool = True):
-        """Stage-1 cycle loop (reference optimizer.py:324-602)."""
+        """Stage-1 cycle loop (reference optimizer.py:324-602), with
+        orbax checkpoint/resume every `checkpoint_every` cycles and an
+        optional jax.profiler trace of one steady-state cycle."""
         seq, cfg, model = self.seq, self.cfg, self.model
         data = E.prepare_seq_data(seq, cfg)
         betas_ref = jnp.asarray(
@@ -132,9 +163,24 @@ class Predictor:
         opt = E.make_stage1_optimizer()
         opt_state = opt.init(params)
 
+        ckpt_every = int(getattr(self.args, "checkpoint_every", 0))
+        ckpt_mgr = None
+        start_cycle = 0
+        if ckpt_every > 0:
+            ckpt_mgr = _make_checkpoint_manager(
+                os.path.join(self.output_path, "ckpt"))
+            latest = ckpt_mgr.latest_step()
+            if latest is not None:
+                params, opt_state = _restore_checkpoint(
+                    ckpt_mgr, latest, params, opt_state)
+                start_cycle = latest + 1
+                print(f"resumed from checkpoint at cycle {latest}")
+
+        profile_dir = getattr(self.args, "profile_dir", None)
+
         log = []
         t_start = time.time()
-        for cycle in range(self.num_iter):
+        for cycle in range(start_cycle, self.num_iter):
             if (cycle >= cfg.warmup_cycles
                     and cycle % cfg.update_filters_every == 0):
                 dvf = E.update_filtered_targets(params, model, cfg)
@@ -145,15 +191,26 @@ class Predictor:
                 pcd = E.update_scene(params, data, cfg)
                 aux = aux._replace(scene=pcd, have_scene=jnp.ones(()))
 
+            if profile_dir and cycle == 2:
+                jax.profiler.start_trace(profile_dir)
             params, opt_state, loss, parts = E.stage1_cycle(
                 params, opt_state, model, data, aux, self.coefs, cfg,
                 optimize_scale=optimize_scale)
+            if profile_dir and cycle == 2:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                print("profiler trace written to", profile_dir)
+
             parts = np.asarray(parts)
             log.append(dict(zip(E.LOG_KEYS, parts.tolist())))
+            if ckpt_mgr is not None and (cycle + 1) % ckpt_every == 0:
+                _save_checkpoint(ckpt_mgr, cycle, params, opt_state)
             if verbose and (cycle % 25 == 0 or cycle == self.num_iter - 1):
                 print(f"cycle {cycle:4d} loss={float(loss):.4f} "
                       f"({(time.time() - t_start):.1f}s)")
 
+        if ckpt_mgr is not None:
+            ckpt_mgr.wait_until_finished()
         self._params = params
         scene_host = self._final_scene(params, data, aux)
         return log, scene_host
@@ -189,3 +246,41 @@ class Predictor:
             "scene_img": scene_img,
             "scene_mask": mask_f,
         }
+
+
+def build_studio_sequence(data_path, ts_id, cam_id, smpl_joints_fn,
+                          resize_factor=1.0, start_frame=0,
+                          end_frame=-1, step_frame=1,
+                          depth_path="DPT_midas21_monodepth",
+                          erode_segmentation_iters=1,
+                          erode_backmask_iters=2,
+                          renormalize_depth=True,
+                          post_process_depth=True):
+    """Multi-camera studio sequence ingestion with the reference's
+    hard-coded studio intrinsics (predict.py:360-397)."""
+    from ..data.ingestion import load_sequence
+
+    if cam_id is not None:
+        data_path = os.path.join(data_path, f"seq{ts_id}",
+                                 f"cam{cam_id}")
+    else:
+        data_path = os.path.join(data_path, f"seq{ts_id}")
+    frame_ids = list(range(start_frame, end_frame, step_frame))
+
+    W = 1028
+    cam_K = np.array([
+        [0.582952201 * W, 0, 0.501329839 * W],
+        [0, 0.582485139 * W, 0.349481702 * W],
+        [0, 0, 1]], np.float32)
+
+    return load_sequence(
+        data_path, smpl_joints_fn,
+        cam_K=cam_K,
+        frame_ids=frame_ids,
+        depth_path=depth_path,
+        resize_factor=resize_factor,
+        erode_segmentation_iters=erode_segmentation_iters,
+        erode_backmask_iters=erode_backmask_iters,
+        renormalize_depth=renormalize_depth,
+        post_process_depth=post_process_depth,
+    )
