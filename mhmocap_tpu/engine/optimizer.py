@@ -507,22 +507,33 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     loss_sil = jnp.sum(sil_gate * (in_win + outside) / n_keep)
 
     # --- contact + foot sliding (optimizer.py:485-518) ---
+    # The 32-NN query against the 65k-point scene cloud is the
+    # expensive part; lax.cond skips it entirely until the scene
+    # exists (warmup cycles < 30 never pay for it).
     poses_T_c = poses_T_h[1:]
-    low, cdist, target_T = contact_targets(
-        verts_abs, poses_T_c, aux.scene, k=cfg.knn,
-        offset=cfg.contact_offset)
-    reg_contact = aux.have_scene * jnp.sum(
-        fv[..., None, None] * jnp.abs(poses_T_c - target_T))
-
-    in_contact = (cdist > -cfg.contact_thr).astype(jnp.float32)  # (C,N,1,1)
-    # previous-frame verts at the CURRENT frame's lowest-vertex index
-    idx_low = jnp.argmax(verts_abs_h[..., 1], axis=-1)[..., None, None]
-    low_tm1 = jnp.take_along_axis(
-        verts_abs_h[:-1], idx_low[1:].repeat(3, -1), axis=-2)
     pv = pair_valid[:, None, None, None]
-    fs_num = jnp.sum(jnp.abs(pv * in_contact * (low - low_tm1)))
-    fs_den = jnp.clip(jnp.sum(pv * in_contact), 1.0)
-    reg_foot_sliding = aux.have_scene * fs_num / fs_den
+
+    def _contact_terms(operands):
+        verts_abs, verts_abs_h, poses_T_c = operands
+        low, cdist, target_T = contact_targets(
+            verts_abs, poses_T_c, aux.scene, k=cfg.knn,
+            offset=cfg.contact_offset)
+        reg_c = jnp.sum(fv[..., None, None]
+                        * jnp.abs(poses_T_c - target_T))
+        in_contact = (cdist > -cfg.contact_thr).astype(jnp.float32)
+        # previous-frame verts at the CURRENT frame's lowest-vertex idx
+        idx_low = jnp.argmax(verts_abs_h[..., 1],
+                             axis=-1)[..., None, None]
+        low_tm1 = jnp.take_along_axis(
+            verts_abs_h[:-1], idx_low[1:].repeat(3, -1), axis=-2)
+        fs_num = jnp.sum(jnp.abs(pv * in_contact * (low - low_tm1)))
+        fs_den = jnp.clip(jnp.sum(pv * in_contact), 1.0)
+        return reg_c, fs_num / fs_den
+
+    reg_contact, reg_foot_sliding = lax.cond(
+        aux.have_scene > 0, _contact_terms,
+        lambda _: (jnp.zeros(()), jnp.zeros(())),
+        (verts_abs, verts_abs_h, poses_T_c))
 
     # --- SMPL parameter regularization (optimizer.py:523-526) ---
     w_ref = valid_smpl_c * fv[..., None]          # (C, N, 1)

@@ -83,12 +83,14 @@ def mean_knn_point(query, pcd: ScenePointCloud, k: int = 32):
     """Mean of the k nearest valid scene points for each query point.
 
     query: (..., 3) -> (..., 3). The reference takes the mean of the 32
-    argsort-closest points (optimizer.py:494-500).
+    argsort-closest points (optimizer.py:494-500); here the candidate
+    set comes from the TPU-native `approx_min_k` (recall ~0.95), whose
+    mean is statistically indistinguishable for a 65k-point cloud.
     """
     q = query.reshape(-1, 3)
     d2 = jnp.sum(jnp.square(q[:, None] - pcd.points[None]), axis=-1)
     d2 = jnp.where(pcd.valid[None], d2, jnp.inf)
-    _, idx = jax.lax.top_k(-d2, k)                  # (Q, k)
+    _, idx = jax.lax.approx_min_k(d2, k)            # (Q, k)
     gathered = pcd.points[idx]                      # (Q, k, 3)
     ok = pcd.valid[idx][..., None]
     mean = jnp.sum(jnp.where(ok, gathered, 0.0), axis=1) \
