@@ -68,6 +68,10 @@ class RasterSettings(NamedTuple):
     # inconsistent winding.
     backface_cull: bool = False
     grazing_margin: float = 0.5      # keep faces within this cos-angle
+    # Backend: "pallas" (TPU kernel, exact, fastest), "tiles",
+    # "brute", or "auto" (pallas on TPU, tiles elsewhere — the pallas
+    # interpreter is too slow for CPU test loops).
+    backend: str = "auto"
 
     @property
     def sil_blur_px2(self) -> float:
@@ -323,6 +327,14 @@ def rasterize_body(verts, faces, cam_K, settings: RasterSettings):
     Returns dict(zbuf, sil, origin): zbuf/sil are (win, win), origin is
     the (x0, y0) of the window in image coordinates.
     """
+    backend = settings.backend
+    if backend == "auto":
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   and settings.window % 8 == 0 else "tiles")
+    if backend == "pallas":
+        from .raster_pallas import rasterize_body_pallas
+        return rasterize_body_pallas(verts, faces, cam_K, settings)
+
     uvz = project_points(verts, cam_K, return_depth=True)
     uv, z = uvz[..., :2], uvz[..., 2]
     # Behind-camera verts project to mirrored positions; guard the
@@ -331,7 +343,8 @@ def rasterize_body(verts, faces, cam_K, settings: RasterSettings):
     fuv = uv[faces]                  # (F, 3, 2)
     fz = z[faces]                    # (F, 3)
     face_ok = jnp.all(fz > settings.znear, axis=-1)
-    if settings.use_tiles and settings.window % settings.tile == 0:
+    if (backend == "tiles" and settings.use_tiles
+            and settings.window % settings.tile == 0):
         bin_ok = face_ok
         if settings.backface_cull:
             tri3 = verts[faces]      # (F, 3, 3) camera space
