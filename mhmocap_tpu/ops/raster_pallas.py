@@ -137,6 +137,28 @@ def _read_face_rows(table_ref, base):
                 cy=sl(5), z0=sl(6), z1=sl(7), z2=sl(8), ok=sl(ROW_OK))
 
 
+def _strip_chunk_bounds(table, win: int):
+    """Per-strip [lo, hi) chunk ranges from the y-sorted table.
+
+    Faces are sorted by ymin; a strip [y0, y1) can only intersect
+    faces with ymin < y1 and ymin > y0 - max_height, a contiguous
+    range found by two vectorized searchsorted calls. Conservative
+    (the kernel still checks per-chunk activity) but skips the long
+    sorted tail/head entirely.
+    """
+    n_strips = win // STRIP_H
+    ymin = table[ROW_YMIN]
+    ymax = table[ROW_YMAX]
+    ok = table[ROW_OK] > 0.5
+    h_max = jnp.max(jnp.where(ok, ymax - ymin, 0.0))
+    y0 = jnp.arange(n_strips, dtype=jnp.float32) * STRIP_H
+    lo_face = jnp.searchsorted(ymin, y0 - h_max, side="left")
+    hi_face = jnp.searchsorted(ymin, y0 + STRIP_H, side="left")
+    lo_chunk = (lo_face // FACE_CHUNK).astype(jnp.int32)
+    hi_chunk = (-(-hi_face // FACE_CHUNK)).astype(jnp.int32)
+    return jnp.stack([lo_chunk, hi_chunk], axis=1)  # (n_strips, 2)
+
+
 def _strip_pixels(s, win):
     npx = STRIP_H * win
     rows = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
@@ -146,8 +168,8 @@ def _strip_pixels(s, win):
     return px, py
 
 
-def _fwd_kernel(table_ref, zbuf_ref, logkeep_ref, amin_ref, *,
-                win, n_chunks, inv_blur, znear):
+def _fwd_kernel(bounds_ref, table_ref, zbuf_ref, logkeep_ref,
+                amin_ref, *, win, n_chunks, inv_blur, znear):
     s = pl.program_id(0)
     npx = STRIP_H * win
     px, py = _strip_pixels(s, win)
@@ -185,8 +207,8 @@ def _fwd_kernel(table_ref, zbuf_ref, logkeep_ref, amin_ref, *,
     init = (jnp.full((npx, 1), BIG, jnp.float32),
             jnp.zeros((npx, 1), jnp.float32),
             jnp.full((npx, 1), -1, jnp.int32))
-    zmin, logkeep, amin = jax.lax.fori_loop(0, n_chunks, chunk_body,
-                                            init)
+    zmin, logkeep, amin = jax.lax.fori_loop(
+        bounds_ref[s, 0], bounds_ref[s, 1], chunk_body, init)
     zbuf_ref[:, :] = zmin
     logkeep_ref[:, :] = logkeep
     amin_ref[:, :] = amin
@@ -199,10 +221,13 @@ def _run_forward(table, win: int, inv_blur: float, znear: float):
     kernel = functools.partial(_fwd_kernel, win=win,
                                n_chunks=F_pad // FACE_CHUNK,
                                inv_blur=inv_blur, znear=znear)
+    bounds = _strip_chunk_bounds(table, win)
     zzl = pl.pallas_call(
         kernel,
         grid=(n_strips,),
-        in_specs=[pl.BlockSpec((NCOLS, F_pad), lambda s: (0, 0),
+        in_specs=[pl.BlockSpec((n_strips, 2), lambda s: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((NCOLS, F_pad), lambda s: (0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
             pl.BlockSpec((npx, 1), lambda s: (s, 0),
@@ -218,12 +243,12 @@ def _run_forward(table, win: int, inv_blur: float, znear: float):
             jax.ShapeDtypeStruct((n_strips * npx, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(table)
+    )(bounds, table)
     return tuple(x.reshape(win, win) for x in zzl)
 
 
-def _bwd_kernel(table_ref, dz_ref, dlk_ref, amin_ref, dtab_ref, *,
-                win, n_chunks, inv_blur, znear):
+def _bwd_kernel(bounds_ref, table_ref, dz_ref, dlk_ref, amin_ref,
+                dtab_ref, *, win, n_chunks, inv_blur, znear):
     s = pl.program_id(0)
     px, py = _strip_pixels(s, win)
     y_lo = (s * STRIP_H).astype(jnp.float32)
@@ -312,7 +337,8 @@ def _bwd_kernel(table_ref, dz_ref, dlk_ref, amin_ref, dtab_ref, *,
         jax.lax.cond(active, do_chunk, lambda _: 0, 0)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(bounds_ref[s, 0], bounds_ref[s, 1], chunk_body,
+                      0)
 
 
 def _run_backward(table, dz, dlk, amin, win, inv_blur, znear):
@@ -323,10 +349,13 @@ def _run_backward(table, dz, dlk, amin, win, inv_blur, znear):
                                n_chunks=F_pad // FACE_CHUNK,
                                inv_blur=inv_blur, znear=znear)
     as_col = lambda x: x.reshape(n_strips * npx, 1)
+    bounds = _strip_chunk_bounds(table, win)
     return pl.pallas_call(
         kernel,
         grid=(n_strips,),
         in_specs=[
+            pl.BlockSpec((n_strips, 2), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((NCOLS, F_pad), lambda s: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((npx, 1), lambda s: (s, 0),
@@ -340,7 +369,7 @@ def _run_backward(table, dz, dlk, amin, win, inv_blur, znear):
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((NCOLS, F_pad), jnp.float32)],
         interpret=_interpret(),
-    )(table, as_col(dz), as_col(dlk), as_col(amin))[0]
+    )(bounds, table, as_col(dz), as_col(dlk), as_col(amin))[0]
 
 
 # ---------------------------------------------------------------------------
