@@ -89,6 +89,18 @@ class EngineConfig:
     warmup_cycles: int = 30              # scene/filters start cycle
     scene_update_every: int = 1
     cam_dist_coef: Optional[Tuple[float, ...]] = None
+    # Rematerialize chunk forwards in the backward pass. None = auto:
+    # only when the sequence is long enough that storing per-chunk
+    # residuals (~150MB each, dominated by the rasterizer) would blow
+    # HBM. Without remat a cycle skips one full re-execution of the
+    # Pallas forward kernel (~25% faster).
+    remat_chunks: Optional[bool] = None
+
+    @property
+    def use_remat(self) -> bool:
+        if self.remat_chunks is not None:
+            return self.remat_chunks
+        return self.num_chunks > 16
 
     @property
     def padded_frames(self) -> int:
@@ -591,8 +603,9 @@ def _cycle_loss(params: StageParams, model: SMPLModel, data: SeqData,
         return _chunk_loss_core(chunk, model, p.betas, scale,
                                 data.cam_K, aux, coefs, cfg)
 
-    chunk_fn = jax.checkpoint(
-        chunk_fn, policy=jax.checkpoint_policies.nothing_saveable)
+    if cfg.use_remat:
+        chunk_fn = jax.checkpoint(
+            chunk_fn, policy=jax.checkpoint_policies.nothing_saveable)
 
     def body(carry, i):
         acc_loss, acc_parts = carry

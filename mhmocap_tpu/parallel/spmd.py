@@ -156,8 +156,10 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
                 chunk_inputs(i), model, params_l.betas, scale,
                 data_l.cam_K, aux_l, coefs_l, cfg)
 
-        chunk_fn = jax.checkpoint(
-            chunk_fn, policy=jax.checkpoint_policies.nothing_saveable)
+        if cfg.use_remat:
+            chunk_fn = jax.checkpoint(
+                chunk_fn,
+                policy=jax.checkpoint_policies.nothing_saveable)
 
         def body(carry, i):
             acc_l, acc_p = carry
