@@ -714,6 +714,45 @@ def update_filtered_targets(params: StageParams, model: SMPLModel,
     return diffs.reshape(cfg.padded_frames, N, -1, 3)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def get_filtered_vertices(params: StageParams, model: SMPLModel,
+                          cfg: EngineConfig,
+                          min_cutoff_T: float = 0.004,
+                          min_cutoff_angles: float = 0.1,
+                          beta_T: float = 0.7,
+                          beta_angles: float = 0.1):
+    """Final-output smoothing: One-Euro-filter poses_T and the SMPL
+    pose angles (uniform time base), then rebuild absolute vertices.
+
+    Parity with reference get_filtered_vertices_by_smpl
+    (optimizer.py:639-661). Returns (Tp, N, V, 3).
+    """
+    from ..ops.one_euro import one_euro_filter
+
+    tp, n = params.poses_T.shape[:2]
+    poses_T_f = one_euro_filter(params.poses_T,
+                                min_cutoff=min_cutoff_T, beta=beta_T,
+                                frame_rate=cfg.frame_rate,
+                                dt_mode="uniform")
+    poses_f = one_euro_filter(params.poses_smpl,
+                              min_cutoff=min_cutoff_angles,
+                              beta=beta_angles,
+                              frame_rate=cfg.frame_rate,
+                              dt_mode="uniform")
+    scale = scale_factor_of(params)
+
+    def chunk_verts(i):
+        t0 = i * cfg.chunk
+        p = lax.dynamic_slice_in_dim(poses_f, t0, cfg.chunk, 0)
+        t = lax.dynamic_slice_in_dim(poses_T_f, t0, cfg.chunk, 0)
+        v, _ = _smpl_bodies(model, p, params.betas, scale, t)
+        return v
+
+    _, verts = lax.scan(lambda c, i: (c, chunk_verts(i)), 0,
+                        jnp.arange(cfg.num_chunks))
+    return verts.reshape(tp, n, -1, 3)
+
+
 def get_optimized_variables(params: StageParams, cfg: EngineConfig,
                             data_valid_smpl: np.ndarray,
                             scene: Optional[Dict] = None) -> Dict:
