@@ -58,6 +58,11 @@ def sum_abs(x):
     return jnp.sum(jnp.abs(x))
 
 
+def inv_depth_loss(diff_z):
+    """softplus(dz)^2 (reference losses.py:43-44)."""
+    return jnp.square(jnp.logaddexp(diff_z, 0.0))
+
+
 def multiscale_gradient_loss(y_true, y_pred, mask,
                              num_levels: int = 4, alpha: float = 0.5,
                              eps: float = 1e-3):

@@ -163,6 +163,22 @@ class Predictor:
         opt = E.make_stage1_optimizer()
         opt_state = opt.init(params)
 
+        # Multi-device: shard the time axis over all local devices when
+        # the padded length divides evenly (parallel/spmd.py); the
+        # scene/filter refreshes run under GSPMD on the sharded arrays.
+        mesh = None
+        n_dev = jax.device_count()
+        use_spmd = bool(getattr(self.args, "spmd", n_dev > 1))
+        if (use_spmd and n_dev > 1
+                and cfg.padded_frames % (n_dev * cfg.chunk) == 0):
+            from ..parallel import spmd as S
+            mesh = S.make_mesh()
+            params = S.shard_params(params, mesh)
+            data = S.shard_data(data, mesh)
+            aux = S.shard_aux(aux, mesh)
+            print(f"fit: sharding {cfg.padded_frames} frames over "
+                  f"{n_dev} devices")
+
         ckpt_every = int(getattr(self.args, "checkpoint_every", 0))
         ckpt_mgr = None
         start_cycle = 0
@@ -190,12 +206,21 @@ class Predictor:
                     and cycle % cfg.scene_update_every == 0):
                 pcd = E.update_scene(params, data, cfg)
                 aux = aux._replace(scene=pcd, have_scene=jnp.ones(()))
+            if mesh is not None and cycle >= cfg.warmup_cycles:
+                from ..parallel import spmd as S
+                aux = S.shard_aux(aux, mesh)
 
             if profile_dir and cycle == 2:
                 jax.profiler.start_trace(profile_dir)
-            params, opt_state, loss, parts = E.stage1_cycle(
-                params, opt_state, model, data, aux, self.coefs, cfg,
-                optimize_scale=optimize_scale)
+            if mesh is not None:
+                from ..parallel import spmd as S
+                params, opt_state, loss, parts = S.spmd_stage1_cycle(
+                    params, opt_state, model, data, aux, self.coefs,
+                    cfg, mesh, optimize_scale=optimize_scale)
+            else:
+                params, opt_state, loss, parts = E.stage1_cycle(
+                    params, opt_state, model, data, aux, self.coefs,
+                    cfg, optimize_scale=optimize_scale)
             if profile_dir and cycle == 2:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()

@@ -46,6 +46,19 @@ SMPL_PARENTS = np.array(
 NUM_JOINTS = 24
 NUM_BETAS = 10
 
+# SMPL-X topology variant of the same landmark set (reference
+# VERTEX_IDS['smplx'], smpl.py:426-448), provided for model files with
+# the SMPL-X mesh.
+SMPLX_VERTEX_ID_MAP = {
+    "nose": 9120, "reye": 9929, "leye": 9448, "rear": 616, "lear": 6,
+    "LBigToe": 5770, "LSmallToe": 5780, "LHeel": 8846,
+    "RBigToe": 8463, "RSmallToe": 8474, "RHeel": 8635,
+    "lthumb": 5361, "lindex": 4933, "lmiddle": 5058, "lring": 5169,
+    "lpinky": 5286,
+    "rthumb": 8079, "rindex": 7669, "rmiddle": 7794, "rring": 7905,
+    "rpinky": 8022,
+}
+
 # Extra surface keypoints selected directly from mesh vertices
 # (reference VertexJointSelector + VERTEX_IDS['smplh'], smpl.py:67-115,
 # 402-425): 5 face + 6 feet + 10 finger tips, appended after the 24
@@ -351,3 +364,28 @@ def smpl_forward(
     if transl is not None:
         out = {k: v + transl[:, None, :] for k, v in out.items()}
     return out
+
+
+def create(model_path: str, model_type: str = "smpl",
+           **kwargs) -> SMPLModel:
+    """Factory mirroring the reference `create` (smpl.py:42-65)."""
+    if model_type.lower() != "smpl":
+        raise ValueError(f"Unknown model type {model_type}")
+    return load_smpl_model(model_path, **kwargs)
+
+
+def vertices_to_landmarks(vertices, faces, lmk_face_idx,
+                          lmk_bary_coords):
+    """Barycentric landmark interpolation (smpl.py:451-487).
+
+    vertices: (B, V, 3); faces: (F, 3); lmk_face_idx: (L,);
+    lmk_bary_coords: (L, 3) -> (B, L, 3).
+    """
+    tri = vertices[:, faces[lmk_face_idx]]        # (B, L, 3, 3)
+    return jnp.sum(tri * lmk_bary_coords[None, :, :, None], axis=2)
+
+
+def rot_mat_to_euler(rot_mats):
+    """Rotation matrices -> y-axis Euler angle (smpl.py:595-601)."""
+    sy = jnp.sqrt(rot_mats[..., 0, 0] ** 2 + rot_mats[..., 1, 0] ** 2)
+    return jnp.arctan2(-rot_mats[..., 2, 0], sy)

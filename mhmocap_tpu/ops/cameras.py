@@ -127,6 +127,24 @@ def recover_intrinsics(pts3d: np.ndarray, pts2d: np.ndarray) -> np.ndarray:
     return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
 
 
+def recover_intrinsics_simplified(pts3d: np.ndarray,
+                                  pts2d: np.ndarray,
+                                  image_size) -> np.ndarray:
+    """Recover a single focal per axis assuming the principal point at
+    the image center (reference transforms.py:185-219)."""
+    cx, cy = image_size[0] / 2.0, image_size[1] / 2.0
+    p3 = pts3d[:, :2] / pts3d[:, 2:3]
+    p2 = pts2d - np.array([[cx, cy]], np.float32)
+
+    def solve(a, b):
+        return float((a * b).sum() / np.clip((a * a).sum(), 1e-12,
+                                             None))
+
+    fx = solve(p3[:, 0], p2[:, 0])
+    fy = solve(p3[:, 1], p2[:, 1])
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+
 def ndc_calibration_matrix(znear: float, zfar: float, K: np.ndarray,
                            image_size: Tuple[int, int]) -> np.ndarray:
     """4x4 NDC projection matrix equivalent to the reference's
