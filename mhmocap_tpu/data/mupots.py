@@ -7,8 +7,6 @@ and the GT array construction in predict_mupots.py:64-73.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
-
 import numpy as np
 import scipy.io as sio
 

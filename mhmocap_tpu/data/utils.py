@@ -9,7 +9,7 @@ rescaling, vector angles.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import numpy as np
 

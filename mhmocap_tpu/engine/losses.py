@@ -10,7 +10,6 @@ configs/*.yml) carry over unchanged.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -49,7 +49,6 @@ from ..ops.cameras import project_points, softplus
 from ..ops.morphology import erode
 from ..ops.one_euro import one_euro_init, one_euro_step
 from ..ops.rasterizer import RasterSettings, rasterize_bodies
-from .losses import masked_mse_loss
 from .scene import (ScenePointCloud, aggregate_scene_depth,
                     build_scene_pointcloud, contact_targets,
                     denormalize_disparity)

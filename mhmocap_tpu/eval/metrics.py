@@ -10,7 +10,7 @@ position error, temporal jitter, masked MPJPE and PCK aggregation
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

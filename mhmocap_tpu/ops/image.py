@@ -17,7 +17,7 @@ Everything is jittable and static-shaped; masked medians use sort with
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ reference convert via blur_px^2 = blur_ndc * (min(H, W)/2)^2.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import numpy as np

@@ -24,8 +24,6 @@ only). `padded_frames` must be divisible by (devices * chunk).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..engine import optimizer as E
-from ..models.smpl import SMPLModel
 
 TIME_AXIS = "t"
 
