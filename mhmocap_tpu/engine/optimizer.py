@@ -94,6 +94,11 @@ class EngineConfig:
     # HBM. Without remat a cycle skips one full re-execution of the
     # Pallas forward kernel (~25% faster).
     remat_chunks: Optional[bool] = None
+    # Pad the sequence length to a multiple of this bucket so different
+    # sequences (MuPoTs TS1..20 range 201..2300 frames) share compiled
+    # programs — remote TPU compiles cost minutes, padding costs
+    # masked-out frames.
+    frame_bucket: int = 64
 
     @property
     def use_remat(self) -> bool:
@@ -103,8 +108,10 @@ class EngineConfig:
 
     @property
     def padded_frames(self) -> int:
-        c = self.chunk
-        return ((self.num_frames + c - 1) // c) * c
+        # bucket rounded up to a chunk multiple so both constraints hold
+        b = -(-max(self.chunk, self.frame_bucket) // self.chunk)
+        b = b * self.chunk
+        return ((self.num_frames + b - 1) // b) * b
 
     @property
     def num_chunks(self) -> int:

@@ -54,6 +54,7 @@ def config_yml(tmp_path_factory, mupots_tree):
             "reg_foot_sliding_coef": 0.01,
             "save_visualizations": False,
             "raster_window": 64,
+            "frame_bucket": 1,
         },
         "smpl": {"smpl_model_parameters_path": "/nonexistent-synthetic"},
         "data": {
