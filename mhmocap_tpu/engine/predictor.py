@@ -83,8 +83,10 @@ class Predictor:
             num_people=seq.num_people,
             num_frames=seq.num_frames,
             chunk=max(int(getattr(parsed_args, "batch_size", 10)), 2),
-            window=min(int(getattr(parsed_args, "raster_window", 128)),
-                       min(W, H)),
+            # multiple of 8 so the Pallas strip kernel always engages
+            window=max(8, (min(int(getattr(parsed_args,
+                                           "raster_window", 128)),
+                              min(W, H)) // 8) * 8),
             joint_confidence_thr=getattr(
                 parsed_args, "joint_confidence_thr", 0.5),
             cam_dist_coef=(tuple(seq.cam["Kd"])
