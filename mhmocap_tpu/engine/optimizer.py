@@ -80,8 +80,9 @@ class EngineConfig:
     contact_offset: float = 0.02
     contact_thr: float = 0.20
     frame_rate: float = 25.0
-    min_cutoff1: float = 0.01            # poses_T filter (fit args)
-    beta1: float = 0.02
+    # (the reference also takes min_cutoff1/beta1 poses_T-filter args,
+    # but its `poses_T_filtered` is dead code — optimizer.py:384 — so
+    # those knobs are intentionally not carried here)
     min_cutoff2: float = 0.001           # verts filter
     beta2: float = 0.5
     update_filters_every: int = 25
@@ -232,6 +233,7 @@ def init_global_poses(
     cam_K: jax.Array,           # (3, 3)
     image_size: Tuple[int, int],
     xscale: jax.Array,          # (1, N, 1, 1)
+    dist_coef: Optional[jax.Array] = None,
     proj2d_coef: float = 1.0,
     reg_velocity_coef: float = 0.05,
     num_iter: int = 100,
@@ -239,6 +241,8 @@ def init_global_poses(
 ):
     """Solve per-frame 3D root translations by minimizing weighted 2D
     reprojection with Adam(0.5, betas=(0.5, 0.5)) + exp(0.95) decay.
+    `dist_coef` applies the camera's radial/tangential distortion to
+    the projections (the reference passes Kd here, optimizer.py:752).
 
     The SMPL joints do not depend on poses_T, so (unlike the reference,
     which re-runs SMPL every iteration) the forward pass is hoisted out
@@ -260,7 +264,7 @@ def init_global_poses(
 
     def loss_fn(poses_T):
         p3d = joints + poses_T
-        proj = project_points(p3d, cam_K)
+        proj = project_points(p3d, cam_K, dist_coef=dist_coef)
         loss_2d = jnp.mean(jnp.square(vis * proj - vis * gt2d))
         speed = jnp.sum(jnp.square(poses_T[1:] - poses_T[:-1]))
         return proj2d_coef * loss_2d + reg_velocity_coef * speed, loss_2d
@@ -300,10 +304,12 @@ def init_params(
         xscale = jnp.zeros((1, N, 1, 1))
         optimize_scale = True
 
+    kd = (None if cfg.cam_dist_coef is None
+          else jnp.asarray(cfg.cam_dist_coef))
     poses_T, hist = init_global_poses(
         model, jnp.asarray(data_pose2d), jnp.asarray(data_poses_smpl),
         jnp.asarray(data_betas_smpl), jnp.asarray(cam_K),
-        cfg.image_size, xscale, num_iter=num_iter)
+        cfg.image_size, xscale, dist_coef=kd, num_iter=num_iter)
     poses_T = np.asarray(poses_T)
 
     max_z = np.clip(np.max(poses_T[..., 2:], axis=1), 2, None)  # (T,1,1)
@@ -590,7 +596,9 @@ def _scale_reg(params: StageParams, coefs, cfg: EngineConfig):
     per-batch accounting (optimizer.py:531-539 runs per batch of
     `batch_size_ref` frames)."""
     scale = scale_factor_of(params)
-    n_batches = cfg.num_frames / cfg.batch_size_ref
+    # the reference adds this term once per DataLoader batch, i.e.
+    # ceil(T / batch_size) times per epoch (optimizer.py:531-539)
+    n_batches = -(-cfg.num_frames // cfg.batch_size_ref)
     reg_scale_avg = jnp.square(jnp.sum(scale - 1.0))
     reg_scale_person = jnp.mean(jnp.square(scale - 1.0))
     loss = n_batches * (coefs["reg_scales"] * reg_scale_person

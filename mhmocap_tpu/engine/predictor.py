@@ -78,15 +78,29 @@ class Predictor:
             parsed_args, "save_visualizations", False)
 
         W, H = seq.image_size
+        chunk = max(int(getattr(parsed_args, "batch_size", 10)), 2)
+        n_dev = jax.device_count()
+        self.use_spmd = (bool(getattr(parsed_args, "spmd", n_dev > 1))
+                         and n_dev > 1)
+        if self.use_spmd:
+            # Chunk size only sets the scan step — the loss sums over
+            # all frames either way — so snap it to a power of two and
+            # round the padding bucket up to a multiple of
+            # devices * chunk: padded_frames then always divides evenly
+            # over the mesh (with the reference's batch_size=10 verbatim
+            # the shard constraint never held and SPMD silently fell
+            # back to one chip).
+            chunk = 1 << max(chunk.bit_length() - 1, 1)
+            bucket = int(np.lcm(chunk * n_dev, 64))
+        else:
+            bucket = 64
         self.cfg = E.EngineConfig(
             image_size=(W, H),
             num_people=seq.num_people,
             num_frames=seq.num_frames,
-            chunk=max(int(getattr(parsed_args, "batch_size", 10)), 2),
-            # multiple of 8 so the Pallas strip kernel always engages
-            window=max(8, (min(int(getattr(parsed_args,
-                                           "raster_window", 128)),
-                              min(W, H)) // 8) * 8),
+            chunk=chunk,
+            frame_bucket=bucket,
+            window=self._sized_window(seq, parsed_args),
             joint_confidence_thr=getattr(
                 parsed_args, "joint_confidence_thr", 0.5),
             cam_dist_coef=(tuple(seq.cam["Kd"])
@@ -103,6 +117,49 @@ class Predictor:
             "reg_contact": parsed_args.reg_contact_coef,
             "reg_foot_sliding": parsed_args.reg_foot_sliding_coef,
         }
+
+    # ------------------------------------------------------------------
+    def _sized_window(self, seq: SequenceArrays, parsed_args) -> int:
+        """Raster window size, guarded against silent supervision clips.
+
+        The reference rasterizes the full image (optimizer.py:211-232);
+        this engine rasterizes a fixed crop window centered on each
+        body's projected bbox, so a person larger than the window would
+        get silently clipped depth/silhouette supervision. Size the
+        window from the observed 2D keypoint bboxes (with a margin for
+        the body surface beyond the joints) and record the residual
+        clip rate.
+        """
+        W, H = seq.image_size
+        base = int(getattr(parsed_args, "raster_window", 128))
+        cap = max(8, (min(W, H) // 8) * 8)
+
+        thr = getattr(parsed_args, "joint_confidence_thr", 0.5)
+        vis = seq.pose2d[..., 2] > thr                     # (T, N, 17)
+        uv = seq.pose2d[..., :2]
+        big = np.asarray([W + H], np.float32)
+        lo = np.min(np.where(vis[..., None], uv, big), axis=2)
+        hi = np.max(np.where(vis[..., None], uv, -big), axis=2)
+        extent = np.max(hi - lo, axis=-1)                  # (T, N)
+        extent = extent[np.sum(vis, axis=-1) >= 2]
+        # joints underestimate the silhouette bbox (head top, hands,
+        # feet soles); 1.3x margin covers the body surface
+        need = 1.3 * extent if extent.size else np.zeros((1,))
+        req = float(np.percentile(need, 99)) if need.size else 0.0
+
+        win = max(8, (int(max(base, int(np.ceil(req)))) + 7) // 8 * 8)
+        win = min(win, cap)
+        self.window_clip_rate = (float(np.mean(need > win))
+                                 if need.size else 0.0)
+        if win > base:
+            print(f"raster window grown {base} -> {win} px to cover "
+                  f"observed person bboxes")
+        if self.window_clip_rate > 0.0:
+            print(f"WARNING: {100 * self.window_clip_rate:.2f}% of "
+                  f"person-frame bboxes exceed the {win} px raster "
+                  f"window; their depth/silhouette supervision is "
+                  f"clipped to the window")
+        return win
 
     # ------------------------------------------------------------------
     def run(self) -> Dict:
@@ -165,21 +222,30 @@ class Predictor:
         opt = E.make_stage1_optimizer()
         opt_state = opt.init(params)
 
-        # Multi-device: shard the time axis over all local devices when
-        # the padded length divides evenly (parallel/spmd.py); the
-        # scene/filter refreshes run under GSPMD on the sharded arrays.
+        # Multi-device: shard the time axis over all local devices
+        # (parallel/spmd.py); the scene/filter refreshes run under
+        # GSPMD on the sharded arrays. __init__ derives chunk and
+        # frame_bucket from the device count, so the divisibility
+        # always holds when use_spmd is set.
         mesh = None
         n_dev = jax.device_count()
-        use_spmd = bool(getattr(self.args, "spmd", n_dev > 1))
-        if (use_spmd and n_dev > 1
-                and cfg.padded_frames % (n_dev * cfg.chunk) == 0):
-            from ..parallel import spmd as S
-            mesh = S.make_mesh()
-            params = S.shard_params(params, mesh)
-            data = S.shard_data(data, mesh)
-            aux = S.shard_aux(aux, mesh)
-            print(f"fit: sharding {cfg.padded_frames} frames over "
-                  f"{n_dev} devices")
+        if self.use_spmd:
+            if cfg.padded_frames % (n_dev * cfg.chunk) != 0:
+                import warnings
+                warnings.warn(
+                    f"SPMD DISABLED: padded_frames {cfg.padded_frames} "
+                    f"does not divide {n_dev} devices x chunk "
+                    f"{cfg.chunk}; running on ONE device. This should "
+                    f"be unreachable (Predictor.__init__ sizes the "
+                    f"bucket) — report it.", RuntimeWarning)
+            else:
+                from ..parallel import spmd as S
+                mesh = S.make_mesh()
+                params = S.shard_params(params, mesh)
+                data = S.shard_data(data, mesh)
+                aux = S.shard_aux(aux, mesh)
+                print(f"fit: sharding {cfg.padded_frames} frames over "
+                      f"{n_dev} devices")
 
         ckpt_every = int(getattr(self.args, "checkpoint_every", 0))
         ckpt_mgr = None

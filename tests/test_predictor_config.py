@@ -1,0 +1,167 @@
+"""Predictor configuration regressions: SPMD engagement on default
+configs, raster-window guard, scale-reg batch accounting, distorted
+init solve."""
+
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mhmocap_tpu.engine import optimizer as E
+from mhmocap_tpu.engine.predictor import Predictor
+from mhmocap_tpu.data.ingestion import SequenceArrays
+from mhmocap_tpu.ops.cameras import intrinsics_from_fov, project_points
+
+
+def _default_args(**over):
+    """The default MuPoTs flags (configs/predict_mupots.yml)."""
+    d = dict(
+        num_iter=2, batch_size=10, save_visualizations=False,
+        proj2d_loss_coef=1.0, depth_loss_coef=0.05,
+        silhouette_loss_coef=0.1, reg_poses_coef=0.002,
+        reg_scales_coef=1e-4, reg_velocity_coef=0.05,
+        reg_verts_filter_coef=0.002, reg_contact_coef=0.001,
+        reg_foot_sliding_coef=0.01, joint_confidence_thr=0.5,
+        raster_window=128)
+    d.update(over)
+    return types.SimpleNamespace(**d)
+
+
+def _tiny_seq(T=7, N=2, side=256, pose2d=None):
+    K = intrinsics_from_fov((side, side), 60.0)
+    if pose2d is None:
+        pose2d = np.zeros((T, N, 17, 3), np.float32)
+        pose2d[..., 0] = side / 2 + 10 * np.random.RandomState(0).randn(
+            T, N, 17)
+        pose2d[..., 1] = side / 2
+        pose2d[..., 2] = 0.9
+    seg = np.zeros((T, N, side, side), np.float32)
+    return SequenceArrays(
+        images=np.zeros((T, side, side, 3), np.uint8),
+        depths=np.zeros((T, side, side), np.float32),
+        instances=np.zeros((T, side, side), np.uint8),
+        seg_mask=seg,
+        backmasks=1.0 - seg.max(axis=1),
+        pose2d=pose2d.astype(np.float32),
+        cam_smpl=np.zeros((T, N, 3), np.float32),
+        poses_smpl=np.zeros((T, N, 72), np.float32),
+        betas_smpl=np.zeros((T, N, 10), np.float32),
+        valid_smpl=np.ones((T, N, 1), np.float32),
+        frame_ids=np.arange(T),
+        cam={"K": K, "fov": 60.0, "Kd": None,
+             "image_size": (side, side)},
+    )
+
+
+def test_spmd_engages_on_default_mupots_config(tiny_smpl, tmp_path):
+    """The flagship config (batch_size=10) must shard on the 8-device
+    mesh: round-1 silently fell back to one chip because padded_frames
+    (multiple of 70) never divided 8*10."""
+    p = Predictor(_tiny_seq(T=201), tiny_smpl, str(tmp_path),
+                  _default_args())
+    n_dev = jax.device_count()
+    assert n_dev == 8
+    assert p.use_spmd
+    assert p.cfg.padded_frames % (n_dev * p.cfg.chunk) == 0
+    # every device gets at least one whole chunk
+    assert p.cfg.padded_frames // (n_dev * p.cfg.chunk) >= 1
+
+
+def test_spmd_engages_for_every_mupots_length(tiny_smpl, tmp_path):
+    """MuPoTs TS sequence lengths range 201..2300 — all must shard."""
+    for T in (201, 250, 500, 1198, 2300):
+        p = Predictor(_tiny_seq(T=T), tiny_smpl, str(tmp_path),
+                      _default_args())
+        assert p.cfg.padded_frames % (
+            jax.device_count() * p.cfg.chunk) == 0, T
+        # padding overhead stays bounded (< one bucket)
+        assert p.cfg.padded_frames - T < p.cfg.frame_bucket + p.cfg.chunk
+
+
+def test_window_guard_grows_for_large_person(tiny_smpl, tmp_path):
+    """A person taller than the requested window must grow the window
+    instead of silently clipping supervision (reference rasterizes the
+    full image, optimizer.py:211-232)."""
+    T, N, side = 5, 1, 256
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 0] = np.linspace(40, 220, 17)[None, None]  # 180px wide
+    pose2d[..., 1] = np.linspace(20, 230, 17)[None, None]  # 210px tall
+    pose2d[..., 2] = 0.9
+    p = Predictor(_tiny_seq(T=T, N=N, pose2d=pose2d), tiny_smpl,
+                  str(tmp_path), _default_args(raster_window=64))
+    assert p.cfg.window >= 216            # 1.3 * 210 rounded down to cap
+    assert p.cfg.window % 8 == 0
+    assert p.window_clip_rate <= 1.0
+
+
+def test_window_guard_records_clip_rate(tiny_smpl, tmp_path):
+    """When the image caps the window below the person size, the clip
+    rate must be visible."""
+    T, N, side = 5, 1, 64
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 0] = np.linspace(2, 62, 17)[None, None]
+    pose2d[..., 1] = np.linspace(2, 62, 17)[None, None]
+    pose2d[..., 2] = 0.9
+    p = Predictor(_tiny_seq(T=T, N=N, side=side, pose2d=pose2d),
+                  tiny_smpl, str(tmp_path),
+                  _default_args(raster_window=64))
+    assert p.cfg.window == 64             # capped at the image
+    assert p.window_clip_rate == 1.0      # 1.3 * 60 > 64 everywhere
+
+
+def test_scale_reg_batch_count_is_ceil():
+    """Reference adds the scale term once per DataLoader batch, i.e.
+    ceil(T / batch_size) times per epoch (optimizer.py:531-539)."""
+    cfg = E.EngineConfig(image_size=(32, 32), num_people=2,
+                         num_frames=15, chunk=4, frame_bucket=4)
+    params = E.StageParams(
+        poses_T=jnp.zeros((16, 2, 1, 3)),
+        poses_smpl=jnp.zeros((16, 2, 72)),
+        betas=jnp.zeros((1, 2, 10)),
+        zmin_lin=jnp.zeros((16, 1, 1)),
+        zmax_lin=jnp.zeros((16, 1, 1)),
+        xscale=jnp.full((1, 2, 1, 1), 2.0))
+    coefs = E.default_coefs()
+    loss, logged = E._scale_reg(params, coefs, cfg)
+    s = 1.1 ** 2.0
+    per_batch = (coefs["reg_scales"] * np.mean((s - 1) ** 2)
+                 + (2 * (s - 1)) ** 2)
+    np.testing.assert_allclose(float(loss), 2 * per_batch, rtol=1e-5)
+
+
+def test_init_solve_uses_camera_distortion(tiny_smpl):
+    """init_global_poses must project with Kd (reference passes
+    cam_dist_coef in __init_global_poses, optimizer.py:752): with a
+    strongly distorted camera the distortion-aware solve recovers the
+    true translation, the naive one does not."""
+    from mhmocap_tpu.models.smpl import smpl_forward
+
+    T, N, side = 4, 1, 256
+    K = jnp.asarray(intrinsics_from_fov((side, side), 60.0))
+    kd = jnp.asarray([-0.4, 0.2, 0.0, 0.0, 0.0], jnp.float32)
+
+    model = tiny_smpl
+    poses = jnp.zeros((T * N, 72))
+    betas = jnp.zeros((T * N, 10))
+    out = smpl_forward(model, betas, poses)
+    joints = out["joints_alphapose"].reshape(T, N, 17, 3)
+    true_T = jnp.asarray(
+        np.tile([[[0.8, 0.1, 3.0]]], (T, N, 1))[:, :, None])
+    gt_uv = project_points(joints + true_T, K, dist_coef=kd)
+    pose2d = jnp.concatenate(
+        [gt_uv, 0.9 * jnp.ones((T, N, 17, 1))], -1)
+
+    sol, _ = E.init_global_poses(
+        model, pose2d, jnp.zeros((T, N, 72)), jnp.zeros((T, N, 10)),
+        K, (side, side), jnp.zeros((1, N, 1, 1)), dist_coef=kd,
+        reg_velocity_coef=0.0, num_iter=150)
+    err = float(jnp.max(jnp.abs(sol - true_T)))
+    assert err < 0.05, err
+
+    sol_naive, _ = E.init_global_poses(
+        model, pose2d, jnp.zeros((T, N, 72)), jnp.zeros((T, N, 10)),
+        K, (side, side), jnp.zeros((1, N, 1, 1)), dist_coef=None,
+        reg_velocity_coef=0.0, num_iter=150)
+    err_naive = float(jnp.max(jnp.abs(sol_naive - true_T)))
+    assert err_naive > 2 * err, (err, err_naive)
