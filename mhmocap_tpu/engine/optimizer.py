@@ -141,6 +141,10 @@ class SeqData(NamedTuple):
 
     depths: jax.Array       # (Tp, H, W) f32 normalized disparity
     seg_mask: jax.Array     # (Tp, N, H, W) bool
+    seg_eroded: jax.Array   # (Tp, N, H, W) bool — k3 x2 erosion of
+    #                         seg_mask, precomputed (static data; the
+    #                         reference erodes per batch per epoch,
+    #                         optimizer.py:434-436)
     backmask: jax.Array     # (Tp, H, W) bool
     pose2d: jax.Array       # (Tp, N, 17, 3)
     poses_smpl_ref: jax.Array  # (Tp, N, 72)
@@ -185,9 +189,14 @@ def prepare_seq_data(seq, cfg: EngineConfig) -> SeqData:
     tp = cfg.padded_frames
     frame_valid = np.zeros((tp,), np.float32)
     frame_valid[:cfg.num_frames] = 1.0
+    seg_bool = _pad_t(seq.seg_mask > 0.5, tp)
+    seg_er = jax.jit(
+        lambda s: erode(s.astype(jnp.float32), kernel_size=3,
+                        iterations=2) > 0.5)(jnp.asarray(seg_bool))
     return SeqData(
         depths=jnp.asarray(_pad_t(seq.depths.astype(np.float32), tp)),
-        seg_mask=jnp.asarray(_pad_t(seq.seg_mask > 0.5, tp)),
+        seg_mask=jnp.asarray(seg_bool),
+        seg_eroded=seg_er,
         backmask=jnp.asarray(_pad_t(seq.backmasks > 0.5, tp)),
         pose2d=jnp.asarray(_pad_t(seq.pose2d.astype(np.float32), tp)),
         poses_smpl_ref=jnp.asarray(
@@ -391,6 +400,7 @@ class ChunkInputs(NamedTuple):
     max_z_c: jax.Array         # (C, 1, 1)
     depths_c: jax.Array        # (C, H, W)
     seg_c: jax.Array           # (C, N, H, W) f32
+    seg_er_c: jax.Array        # (C, N, H, W) f32 precomputed erosion
     pose2d_c: jax.Array        # (C, N, 17, 3)
     ref_poses_c: jax.Array     # (C, N, 72)
     valid_smpl_c: jax.Array    # (C, N, 1)
@@ -415,6 +425,7 @@ def _slice_chunk(params: StageParams, data: SeqData, aux: StageAux,
         max_z_c=takec(max_z),
         depths_c=takec(data.depths),
         seg_c=takec(data.seg_mask).astype(jnp.float32),
+        seg_er_c=takec(data.seg_eroded).astype(jnp.float32),
         pose2d_c=takec(data.pose2d),
         ref_poses_c=takec(data.poses_smpl_ref),
         valid_smpl_c=takec(data.valid_smpl),
@@ -490,8 +501,7 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     target_win = _gather_windows(
         jnp.broadcast_to(target_disp[:, None], (C, N, H, W)), origins,
         win)
-    seg_eroded = erode(seg_c, kernel_size=3, iterations=2)
-    seg_er_win = _gather_windows(seg_eroded, origins, win)
+    seg_er_win = _gather_windows(chunk.seg_er_c, origins, win)
 
     zbuf_valid = jnp.isfinite(zbuf)
     zbuf_safe = jnp.where(zbuf_valid, zbuf, 1.0)

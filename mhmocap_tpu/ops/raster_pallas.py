@@ -3,27 +3,38 @@
 The pure-JAX tiled rasterizer (ops/rasterizer.py) is bound by exactly
 the things TPUs dislike: a (tiles, faces) binning matrix, top-k
 selection, per-tile gathers in the forward and scatter-adds in the
-backward. This kernel replaces all of it with dense streaming:
+backward. This kernel replaces all of it with dense streaming that
+feeds the MXU:
 
-  * faces are pre-sorted by their window-local ymin (one cheap sort
-    per body) and packed into a (16, F_pad) VMEM-resident table
-    (faces on the lane axis);
-  * the grid iterates over 8-pixel-high window strips; each strip
-    streams the face table in chunks of 128, SKIPPING chunks whose
-    y-ranges cannot touch the strip — thanks to the sort, a strip only
-    does real work on the contiguous slice of chunks near it;
-  * each active chunk is evaluated fully vectorized as a
-    (strip_pixels=8*win, 128 faces) VPU block — no scalar loops, no
-    gathers;
+  * every per-(pixel, face) quantity is AFFINE in the pixel coords:
+    faces are preprocessed (ops/rasterizer.face_planes, differentiable
+    JAX) into three unit-normalized edge line functions plus a z
+    interpolation plane; one face-chunk is then evaluated as ONE
+    matmul  P(npx, 8) @ C(8, 4*128) -> [d0|d1|d2|z]  on the MXU,
+    leaving only ~25 cheap VPU ops (bbox clamp, z-min carry, soft
+    coverage) per block;
+  * faces are pre-sorted by (8-px y-band, x) — one cheap two-level
+    sort per body — so each 128-face chunk is spatially coherent in
+    BOTH axes; per-chunk bbox aggregates land in SMEM;
+  * the grid is 2-D (y-strip, x-block): each 8 x (win/4) pixel cell
+    walks only the contiguous chunk range whose y-band can touch its
+    strip (searchsorted bounds) and skips chunks outside its x-range
+    with a 4-scalar SMEM test — no face data is even loaded for
+    skipped chunks;
+  * the z-buffer winner and the silhouette log-coverage are carried
+    DENSELY ((npx, 128) elementwise min/add per chunk) and reduced
+    once per cell — no per-chunk cross-lane reductions;
   * the backward pass is a mirrored kernel that recomputes active
-    (strip, chunk) blocks and accumulates d(face table) rows with
-    per-face sublane reductions, in place across the sequential grid —
-    no scatter ever materializes. Face-table gradients are unsorted
-    and unpacked to vertices outside the kernel.
+    (cell, chunk) blocks, forms the per-pair cotangents, and
+    accumulates d(coefficients) with a single  P^T(8, npx) @ G  matmul
+    per chunk, in place across the sequential grid — no scatter, no
+    sublane reduction chains. Plane gradients are unsorted outside the
+    kernel and flow to vertices by autodiff through face_planes.
 
-Semantics match `ops/rasterizer._raster_window` (hard z-min with
-screen-space barycentrics; silhouette = 1 - prod(1 - sigmoid(-d2/blur))
-accumulated in log space).
+Semantics match `ops/rasterizer` in its default "edge_lines" mode
+(hard z-min of plane-interpolated z; silhouette =
+1 - prod(1 - sigmoid(-d|d|/blur)) accumulated in log space, d = the
+bbox-clamped max of the normalized edge line distances).
 """
 
 from __future__ import annotations
@@ -37,15 +48,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .cameras import project_points
-from .rasterizer import RasterSettings, window_origin
+from .rasterizer import RasterSettings, face_planes, window_origin
 
 STRIP_H = 8          # strip height in pixels
+N_XB = 4             # x-blocks per strip (cell width = win / N_XB)
 FACE_CHUNK = 128     # faces per streamed chunk (lane dim)
-NCOLS = 16           # rows: x0 y0 x1 y1 x2 y2 z0 z1 z2 -- ymin ymax ok
+NPLANES = 4          # d0, d1, d2, z — outputs of the chunk matmul
 
-ROW_YMIN = 10
-ROW_YMAX = 11
-ROW_OK = 12
+# metadata table rows (per face, y-band/x sorted)
+ROW_LOX, ROW_HIX, ROW_LOY, ROW_HIY = 0, 1, 2, 3
+ROW_OK_SIL, ROW_OK_DEPTH, ROW_YMIN, ROW_YMAX = 4, 5, 6, 7
+META_ROWS = 8
+
+# per-chunk SMEM aggregate columns (soft reach included in all four)
+AGG_XLO, AGG_XHI, AGG_YLO, AGG_YHI = 0, 1, 2, 3
 
 BIG = 3.0e38         # finite stand-in for +inf
 
@@ -55,208 +71,251 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pack_face_table(fuv_local, fz, face_ok, reach):
-    """(F,3,2), (F,3), (F,) -> y-sorted (NCOLS, F_pad) table + perm."""
-    F = fuv_local.shape[0]
-    F_pad = ((F + FACE_CHUNK - 1) // FACE_CHUNK) * FACE_CHUNK
-    lo_y = jnp.min(fuv_local[..., 1], axis=1) - reach
-    hi_y = jnp.max(fuv_local[..., 1], axis=1) + reach
-    table = jnp.concatenate([
-        fuv_local.reshape(F, 6), fz,
-        jnp.zeros((F, 1), jnp.float32),
-        lo_y[:, None], hi_y[:, None],
-        face_ok[:, None].astype(jnp.float32),
-        jnp.zeros((F, NCOLS - 13), jnp.float32),
-    ], axis=1)
-    order = jnp.argsort(lo_y)
-    table = table[order]
-    if F_pad > F:
-        pad = jnp.zeros((F_pad - F, NCOLS), jnp.float32)
-        pad = pad.at[:, ROW_YMIN].set(BIG)
-        table = jnp.concatenate([table, pad], axis=0)
-    return table.T, order
+def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
+                     reach):
+    """Two-level sort (y-band, x) and pack the kernel tables.
 
-
-def _pair_block(tab, px, py, znear, inv_blur):
-    """Vectorized per-(pixel, face) quantities on a (NPX, CH) block.
-
-    tab: dict of (CH,) face rows; px/py: (NPX, 1) pixel centers.
+    Returns (mat (8, NPLANES*F_pad), meta (META_ROWS, F_pad),
+    agg (NC, 4), order): mat[r, (ch*NPLANES + b)*FACE_CHUNK + l] =
+    plane coefficient r (x, y, const) of plane b (edge0..2, z) of
+    sorted face ch*FACE_CHUNK+l — each chunk owns a contiguous matmul
+    operand. agg is the per-chunk reach-expanded bbox for the SMEM
+    activity test.
     """
-    ax, ay = tab["ax"][None, :], tab["ay"][None, :]
-    bx, by = tab["bx"][None, :], tab["by"][None, :]
-    cx, cy = tab["cx"][None, :], tab["cy"][None, :]
+    F = planes.shape[0]
+    F_pad = ((F + FACE_CHUNK - 1) // FACE_CHUNK) * FACE_CHUNK
+    nc = F_pad // FACE_CHUNK
 
-    def edge(x0, y0, x1, y1):
-        ex, ey = x1 - x0, y1 - y0
-        pxr, pyr = px - x0, py - y0
-        cross = pxr * ey - pyr * ex
-        ee = jnp.maximum(ex * ex + ey * ey, 1e-12)
-        t = jnp.clip((pxr * ex + pyr * ey) / ee, 0.0, 1.0)
-        dx = pxr - t * ex
-        dy = pyr - t * ey
-        return cross, t, dx, dy
+    band = _face_band(lo_y)
+    # lexicographic (band, x-center); keys are small integers/pixels so
+    # the f32 composite is exact
+    key = band * 65536.0 + jnp.clip(
+        0.5 * (bbox[:, 0] + bbox[:, 1]), -4096.0, 4096.0)
+    order = jnp.argsort(key)
+    planes_s = planes[order]
+    meta = jnp.stack([
+        bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3],
+        ok_sil.astype(jnp.float32), ok_depth.astype(jnp.float32),
+        lo_y, hi_y], axis=0)[:, order]
+    if F_pad > F:
+        planes_s = jnp.concatenate(
+            [planes_s, jnp.zeros((F_pad - F, 12), jnp.float32)])
+        mpad = jnp.zeros((META_ROWS, F_pad - F), jnp.float32)
+        mpad = mpad.at[ROW_YMIN].set(BIG)
+        mpad = mpad.at[ROW_LOX].set(BIG)
+        meta = jnp.concatenate([meta, mpad], axis=1)
+    # (F_pad, 12) -> [c, l, b, r] -> mat[r, c, b, l]
+    mat = planes_s.reshape(nc, FACE_CHUNK, NPLANES, 3).transpose(
+        3, 0, 2, 1).reshape(3, NPLANES * F_pad)
+    mat = jnp.concatenate(
+        [mat, jnp.zeros((5, NPLANES * F_pad), jnp.float32)], axis=0)
 
-    c0, t0, dx0, dy0 = edge(ax, ay, bx, by)
-    c1, t1, dx1, dy1 = edge(bx, by, cx, cy)
-    c2, t2, dx2, dy2 = edge(cx, cy, ax, ay)
-    d0 = dx0 * dx0 + dy0 * dy0
-    d1 = dx1 * dx1 + dy1 * dy1
-    d2 = dx2 * dx2 + dy2 * dy2
-    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-    sgn = jnp.sign(area)
-    inside = ((sgn * c0 <= 0) & (sgn * c1 <= 0) & (sgn * c2 <= 0)
-              & (jnp.abs(area) > 1e-9))
-    dmin = jnp.minimum(d0, jnp.minimum(d1, d2))
-    d2s = jnp.where(inside, -dmin, dmin)
-
-    inv_a = 1.0 / jnp.where(jnp.abs(area) > 1e-9, area, 1e-9)
-    w0n = (bx - px) * (cy - py) - (by - py) * (cx - px)
-    w1n = (cx - px) * (ay - py) - (cy - py) * (ax - px)
-    w0 = w0n * inv_a
-    w1 = w1n * inv_a
-    w2 = 1.0 - w0 - w1
-    z0, z1, z2 = (tab["z0"][None, :], tab["z1"][None, :],
-                  tab["z2"][None, :])
-    zi = w0 * z0 + w1 * z1 + w2 * z2
-
-    ok = tab["ok"][None, :] > 0.5
-    covered = inside & ok & (zi > znear)
-    ls = jnp.where(ok, jax.nn.log_sigmoid(d2s * inv_blur), 0.0)
-    return dict(d2s=d2s, inside=inside, zi=zi, covered=covered, ls=ls,
-                inv_a=inv_a, w0=w0, w1=w1, w2=w2,
-                t0=t0, dx0=dx0, dy0=dy0, t1=t1, dx1=dx1, dy1=dy1,
-                t2=t2, dx2=dx2, dy2=dy2, d0=d0, d1=d1, d2=d2,
-                dmin=dmin, ok=ok,
-                ax=ax, ay=ay, bx=bx, by=by, cx=cx, cy=cy,
-                z0=z0, z1=z1, z2=z2)
+    ok = meta[ROW_OK_SIL].reshape(nc, FACE_CHUNK) > 0.5
+    cm = lambda r, init, red: red(
+        jnp.where(ok, meta[r].reshape(nc, FACE_CHUNK), init), axis=1)
+    agg = jnp.stack([
+        cm(ROW_LOX, BIG, jnp.min) - reach,
+        cm(ROW_HIX, -BIG, jnp.max) + reach,
+        cm(ROW_YMIN, BIG, jnp.min),          # lo_y already has reach
+        cm(ROW_YMAX, -BIG, jnp.max),
+    ], axis=1)
+    return mat, meta, agg, order
 
 
-def _read_face_rows(table_ref, base):
-    sl = lambda r: table_ref[r, pl.ds(base, FACE_CHUNK)]
-    return dict(ax=sl(0), ay=sl(1), bx=sl(2), by=sl(3), cx=sl(4),
-                cy=sl(5), z0=sl(6), z1=sl(7), z2=sl(8), ok=sl(ROW_OK))
+def _face_band(lo_y):
+    """Clipped 8-px band index — the primary sort key component. The
+    same clipped value is used for sorting and for the searchsorted
+    bounds so the searched sequence is monotone even when invalid
+    faces carry garbage (behind-camera) extents."""
+    return jnp.clip(jnp.floor(lo_y * (1.0 / STRIP_H)), -64.0, 8192.0)
 
 
-def _strip_chunk_bounds(table, win: int):
-    """Per-strip [lo, hi) chunk ranges from the y-sorted table.
+def _strip_chunk_bounds(meta, win: int):
+    """Per-strip [lo, hi) chunk ranges from the band-sorted metadata.
 
-    Faces are sorted by ymin; a strip [y0, y1) can only intersect
-    faces with ymin < y1 and ymin > y0 - max_height, a contiguous
-    range found by two vectorized searchsorted calls. Conservative
-    (the kernel still checks per-chunk activity) but skips the long
-    sorted tail/head entirely.
+    Faces are sorted primarily by band = floor(ymin / 8); strip s can
+    only intersect faces with band <= s and ymin > y0 - max_height — a
+    contiguous face range found by two searchsorted calls on the
+    non-decreasing band sequence.
     """
     n_strips = win // STRIP_H
-    ymin = table[ROW_YMIN]
-    ymax = table[ROW_YMAX]
-    ok = table[ROW_OK] > 0.5
+    ymin = meta[ROW_YMIN]
+    ymax = meta[ROW_YMAX]
+    ok = meta[ROW_OK_SIL] > 0.5
+    band = _face_band(ymin)
     h_max = jnp.max(jnp.where(ok, ymax - ymin, 0.0))
-    y0 = jnp.arange(n_strips, dtype=jnp.float32) * STRIP_H
-    lo_face = jnp.searchsorted(ymin, y0 - h_max, side="left")
-    hi_face = jnp.searchsorted(ymin, y0 + STRIP_H, side="left")
+    s = jnp.arange(n_strips, dtype=jnp.float32)
+    lo_face = jnp.searchsorted(
+        band, jnp.floor((s * STRIP_H - h_max) * (1.0 / STRIP_H)) - 0.5,
+        side="left")
+    hi_face = jnp.searchsorted(band, s + 0.5, side="left")
     lo_chunk = (lo_face // FACE_CHUNK).astype(jnp.int32)
     hi_chunk = (-(-hi_face // FACE_CHUNK)).astype(jnp.int32)
     return jnp.stack([lo_chunk, hi_chunk], axis=1)  # (n_strips, 2)
 
 
-def _strip_pixels(s, win):
-    npx = STRIP_H * win
+def _cell_pixels(s, xb, win):
+    xw = win // N_XB
+    npx = STRIP_H * xw
     rows = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
-    px = (rows % win).astype(jnp.float32) + 0.5
-    py = ((rows // win).astype(jnp.float32)
+    px = ((rows % xw) + xb * xw).astype(jnp.float32) + 0.5
+    py = ((rows // xw).astype(jnp.float32)
           + (s * STRIP_H).astype(jnp.float32) + 0.5)
-    return px, py
+    return px, py, npx
 
 
-def _fwd_kernel(bounds_ref, table_ref, zbuf_ref, logkeep_ref,
-                amin_ref, *, win, n_chunks, inv_blur, znear):
+def _pixel_matrix(px, py, npx):
+    """P (npx, 8) with columns [px, py, 1, 0...] for the chunk matmul."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (npx, 8), 1)
+    return (jnp.where(col == 0, px, 0.0)
+            + jnp.where(col == 1, py, 0.0)
+            + (col == 2).astype(jnp.float32))
+
+
+def _cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi):
+    """4-scalar SMEM test: chunk bbox vs this cell."""
+    return ((agg_ref[ch, AGG_XLO] < x_hi)
+            & (agg_ref[ch, AGG_XHI] >= x_lo)
+            & (agg_ref[ch, AGG_YLO] < y_hi)
+            & (agg_ref[ch, AGG_YHI] >= y_lo))
+
+
+def _chunk_planes(mat_ref, meta_ref, P, base, px, py):
+    """Evaluate one chunk: d (bbox-clamped line distance), zi, flags."""
+    C = mat_ref[:, pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)]
+    D = jax.lax.dot_general(P, C, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d0 = D[:, 0 * FACE_CHUNK:1 * FACE_CHUNK]
+    d1 = D[:, 1 * FACE_CHUNK:2 * FACE_CHUNK]
+    d2 = D[:, 2 * FACE_CHUNK:3 * FACE_CHUNK]
+    zi = D[:, 3 * FACE_CHUNK:4 * FACE_CHUNK]
+    ms = lambda r: meta_ref[r, pl.ds(base, FACE_CHUNK)][None, :]
+    bb = jnp.maximum(
+        jnp.maximum(ms(ROW_LOX) - px, px - ms(ROW_HIX)),
+        jnp.maximum(ms(ROW_LOY) - py, py - ms(ROW_HIY)))
+    d = jnp.maximum(jnp.maximum(d0, jnp.maximum(d1, d2)), bb)
+    oks = ms(ROW_OK_SIL) > 0.5
+    okd = ms(ROW_OK_DEPTH) > 0.5
+    return d0, d1, d2, zi, d, oks, okd
+
+
+def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
+                logkeep_ref, amin_ref, *, win, inv_blur, znear):
     s = pl.program_id(0)
-    npx = STRIP_H * win
-    px, py = _strip_pixels(s, win)
+    xb = pl.program_id(1)
+    px, py, npx = _cell_pixels(s, xb, win)
+    P = _pixel_matrix(px, py, npx)
+    xw = win // N_XB
+    x_lo = (xb * xw).astype(jnp.float32)
+    x_hi = x_lo + xw
     y_lo = (s * STRIP_H).astype(jnp.float32)
     y_hi = y_lo + STRIP_H
+    lane = jax.lax.broadcasted_iota(jnp.int32, (npx, FACE_CHUNK), 1)
 
     def chunk_body(ch, carry):
-        zmin, logkeep, amin = carry
         base = ch * FACE_CHUNK
-        ymin_c = table_ref[ROW_YMIN, pl.ds(base, FACE_CHUNK)]
-        ymax_c = table_ref[ROW_YMAX, pl.ds(base, FACE_CHUNK)]
-        ok_c = table_ref[ROW_OK, pl.ds(base, FACE_CHUNK)]
-        active = jnp.any((ymin_c < y_hi) & (ymax_c >= y_lo)
-                         & (ok_c > 0.5))
 
         def do_chunk(carry):
-            zmin, logkeep, amin = carry
-            tab = _read_face_rows(table_ref, base)
-            blk = _pair_block(tab, px, py, znear, inv_blur)
-            zc = jnp.where(blk["covered"], blk["zi"], BIG)
-            zrow = jnp.min(zc, axis=1, keepdims=True)       # (NPX, 1)
-            fid = base + jax.lax.broadcasted_iota(jnp.int32, zc.shape,
-                                                  1)
-            arow = jnp.min(jnp.where(zc <= zrow, fid, 2 ** 30),
-                           axis=1, keepdims=True)
-            better = zrow < zmin
-            zmin = jnp.where(better, zrow, zmin)
-            amin = jnp.where(better, arow, amin)
-            logkeep = logkeep + jnp.sum(blk["ls"], axis=1,
-                                        keepdims=True)
-            return zmin, logkeep, amin
+            zmin_l, gid_l, lk_acc = carry
+            _, _, _, zi, d, oks, okd = _chunk_planes(
+                mat_ref, meta_ref, P, base, px, py)
+            covered = (d <= 0) & okd & (zi > znear)
+            zc = jnp.where(covered, zi, BIG)
+            better = zc < zmin_l
+            zmin_l = jnp.where(better, zc, zmin_l)
+            gid_l = jnp.where(better, base + lane, gid_l)
+            # log(1 - sigmoid(-d|d|/blur)) = log_sigmoid(d|d|/blur)
+            ls = jax.nn.log_sigmoid((d * jnp.abs(d)) * inv_blur)
+            lk_acc = lk_acc + jnp.where(oks, ls, 0.0)
+            return zmin_l, gid_l, lk_acc
 
-        return jax.lax.cond(active, do_chunk, lambda c: c, carry)
+        return jax.lax.cond(
+            _cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi),
+            do_chunk, lambda c: c, carry)
 
-    init = (jnp.full((npx, 1), BIG, jnp.float32),
-            jnp.zeros((npx, 1), jnp.float32),
-            jnp.full((npx, 1), -1, jnp.int32))
-    zmin, logkeep, amin = jax.lax.fori_loop(
+    init = (jnp.full((npx, FACE_CHUNK), BIG, jnp.float32),
+            jnp.zeros((npx, FACE_CHUNK), jnp.int32),
+            jnp.zeros((npx, FACE_CHUNK), jnp.float32))
+    zmin_l, gid_l, lk_acc = jax.lax.fori_loop(
         bounds_ref[s, 0], bounds_ref[s, 1], chunk_body, init)
-    zbuf_ref[:, :] = zmin
-    logkeep_ref[:, :] = logkeep
-    amin_ref[:, :] = amin
+
+    zrow = jnp.min(zmin_l, axis=1, keepdims=True)
+    amin = jnp.min(jnp.where(zmin_l <= zrow, gid_l, 2 ** 30),
+                   axis=1, keepdims=True)
+    zbuf_ref[:, :] = zrow
+    logkeep_ref[:, :] = jnp.sum(lk_acc, axis=1, keepdims=True)
+    amin_ref[:, :] = jnp.where(zrow >= BIG, -1, amin)
 
 
-def _run_forward(table, win: int, inv_blur: float, znear: float):
-    F_pad = table.shape[1]
+def _cells_to_window(x, win):
+    """(n_strips * N_XB * npx, 1) cell-major columns -> (win, win)."""
     n_strips = win // STRIP_H
-    npx = STRIP_H * win
+    xw = win // N_XB
+    return x.reshape(n_strips, N_XB, STRIP_H, xw).transpose(
+        0, 2, 1, 3).reshape(win, win)
+
+
+def _window_to_cells(x, win):
+    """(win, win) -> cell-major column layout (inverse of above)."""
+    n_strips = win // STRIP_H
+    xw = win // N_XB
+    return x.reshape(n_strips, STRIP_H, N_XB, xw).transpose(
+        0, 2, 1, 3).reshape(n_strips * N_XB * STRIP_H * xw, 1)
+
+
+def _run_forward(mat, meta, agg, win: int, inv_blur: float,
+                 znear: float):
+    F_pad = meta.shape[1]
+    nc = F_pad // FACE_CHUNK
+    n_strips = win // STRIP_H
+    npx = STRIP_H * (win // N_XB)
     kernel = functools.partial(_fwd_kernel, win=win,
-                               n_chunks=F_pad // FACE_CHUNK,
                                inv_blur=inv_blur, znear=znear)
-    bounds = _strip_chunk_bounds(table, win)
+    bounds = _strip_chunk_bounds(meta, win)
+    out_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * N_XB + xb, 0),
+                            memory_space=pltpu.VMEM)
     zzl = pl.pallas_call(
         kernel,
-        grid=(n_strips,),
-        in_specs=[pl.BlockSpec((n_strips, 2), lambda s: (0, 0),
+        grid=(n_strips, N_XB),
+        in_specs=[pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
                                memory_space=pltpu.SMEM),
-                  pl.BlockSpec((NCOLS, F_pad), lambda s: (0, 0),
+                  pl.BlockSpec((nc, 4), lambda s, xb: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  pl.BlockSpec((8, NPLANES * F_pad),
+                               lambda s, xb: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((META_ROWS, F_pad), lambda s, xb: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((npx, 1), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((npx, 1), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((npx, 1), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_strips * npx, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_strips * npx, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_strips * npx, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_strips * N_XB * npx, 1),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_strips * N_XB * npx, 1),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((n_strips * N_XB * npx, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(bounds, table)
-    return tuple(x.reshape(win, win) for x in zzl)
+    )(bounds, agg, mat, meta)
+    return tuple(_cells_to_window(x, win) for x in zzl)
 
 
-def _bwd_kernel(bounds_ref, table_ref, dz_ref, dlk_ref, amin_ref,
-                dtab_ref, *, win, n_chunks, inv_blur, znear):
+def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
+                dlk_ref, amin_ref, dmat_ref, *, win, inv_blur, znear):
     s = pl.program_id(0)
-    px, py = _strip_pixels(s, win)
+    xb = pl.program_id(1)
+    px, py, npx = _cell_pixels(s, xb, win)
+    P = _pixel_matrix(px, py, npx)
+    PT = P.T
+    xw = win // N_XB
+    x_lo = (xb * xw).astype(jnp.float32)
+    x_hi = x_lo + xw
     y_lo = (s * STRIP_H).astype(jnp.float32)
     y_hi = y_lo + STRIP_H
+    lane = jax.lax.broadcasted_iota(jnp.int32, (npx, FACE_CHUNK), 1)
 
-    @pl.when(s == 0)
+    @pl.when((s == 0) & (xb == 0))
     def _init():
-        dtab_ref[:, :] = jnp.zeros_like(dtab_ref)
+        dmat_ref[:, :] = jnp.zeros_like(dmat_ref)
 
     dz = dz_ref[:, :]            # (NPX, 1)
     dlk = dlk_ref[:, :]
@@ -264,112 +323,76 @@ def _bwd_kernel(bounds_ref, table_ref, dz_ref, dlk_ref, amin_ref,
 
     def chunk_body(ch, _):
         base = ch * FACE_CHUNK
-        ymin_c = table_ref[ROW_YMIN, pl.ds(base, FACE_CHUNK)]
-        ymax_c = table_ref[ROW_YMAX, pl.ds(base, FACE_CHUNK)]
-        ok_c = table_ref[ROW_OK, pl.ds(base, FACE_CHUNK)]
-        active = jnp.any((ymin_c < y_hi) & (ymax_c >= y_lo)
-                         & (ok_c > 0.5))
 
         def do_chunk(_):
-            tab = _read_face_rows(table_ref, base)
-            blk = _pair_block(tab, px, py, znear, inv_blur)
+            d0, d1, d2, _, d, oks, okd = _chunk_planes(
+                mat_ref, meta_ref, P, base, px, py)
+            absd = jnp.abs(d)
 
-            # silhouette branch
-            g_ls = dlk * jnp.where(blk["ok"], jax.nn.sigmoid(
-                -blk["d2s"] * inv_blur), 0.0) * inv_blur
-            g_dmin = g_ls * jnp.where(blk["inside"], -1.0, 1.0)
-            use0 = blk["dmin"] == blk["d0"]
-            use1 = (~use0) & (blk["dmin"] == blk["d1"])
-            use2 = ~(use0 | use1)
+            # silhouette branch: dls/dd = sigmoid(-d|d|/blur) * 2|d|/blur
+            sig = jax.nn.sigmoid(-(d * absd) * inv_blur)
+            g_d = jnp.where(oks, dlk * (sig * inv_blur) * (2.0 * absd),
+                            0.0)
+            # gradient routes to the max edge (first-match priority);
+            # where the bbox clamp wins, d is data -> no gradient
+            use0 = d == d0
+            use1 = (~use0) & (d == d1)
+            use2 = (~(use0 | use1)) & (d == d2)
+            g0 = jnp.where(use0, g_d, 0.0)
+            g1 = jnp.where(use1, g_d, 0.0)
+            g2 = jnp.where(use2, g_d, 0.0)
 
-            def seg_grads(use, t, dx, dy):
-                g = jnp.where(use, g_dmin, 0.0)
-                gdx = 2.0 * g * dx
-                gdy = 2.0 * g * dy
-                return (-gdx * (1.0 - t), -gdy * (1.0 - t),
-                        -gdx * t, -gdy * t)
+            # depth branch (winner pixels only; amin is only ever set
+            # for covered faces in the forward)
+            gz = jnp.where(amin == base + lane, dz, 0.0)
 
-            s0 = seg_grads(use0, blk["t0"], blk["dx0"], blk["dy0"])
-            s1 = seg_grads(use1, blk["t1"], blk["dx1"], blk["dy1"])
-            s2 = seg_grads(use2, blk["t2"], blk["dx2"], blk["dy2"])
-            g_ax = s0[0] + s2[2]
-            g_ay = s0[1] + s2[3]
-            g_bx = s0[2] + s1[0]
-            g_by = s0[3] + s1[1]
-            g_cx = s1[2] + s2[0]
-            g_cy = s1[3] + s2[1]
-
-            # depth branch (winner pixels only)
-            fid = base + jax.lax.broadcasted_iota(jnp.int32,
-                                                  g_ax.shape, 1)
-            gz = jnp.where(amin == fid, dz, 0.0)
-            w0, w1, w2 = blk["w0"], blk["w1"], blk["w2"]
-            inv_a = blk["inv_a"]
-            z0, z1, z2 = blk["z0"], blk["z1"], blk["z2"]
-            ax, ay = blk["ax"], blk["ay"]
-            bx, by = blk["bx"], blk["by"]
-            cx, cy = blk["cx"], blk["cy"]
-            zi = blk["zi"]
-            dz_dw0n = (z0 - z2) * inv_a
-            dz_dw1n = (z1 - z2) * inv_a
-            dz_da = (z2 - zi) * inv_a
-            g_ax = g_ax + gz * (dz_dw1n * (py - cy) + dz_da * (by - cy))
-            g_ay = g_ay + gz * (dz_dw1n * (cx - px) + dz_da * (cx - bx))
-            g_bx = g_bx + gz * (dz_dw0n * (cy - py) + dz_da * (cy - ay))
-            g_by = g_by + gz * (dz_dw0n * (px - cx) + dz_da * (ax - cx))
-            g_cx = g_cx + gz * (dz_dw0n * (py - by)
-                                + dz_dw1n * (ay - py)
-                                + dz_da * (ay - by))
-            g_cy = g_cy + gz * (dz_dw0n * (bx - px)
-                                + dz_dw1n * (px - ax)
-                                + dz_da * (bx - ax))
-            g_z0 = gz * w0
-            g_z1 = gz * w1
-            g_z2 = gz * w2
-
-            for row, g in ((0, g_ax), (1, g_ay), (2, g_bx), (3, g_by),
-                           (4, g_cx), (5, g_cy), (6, g_z0), (7, g_z1),
-                           (8, g_z2)):
-                dtab_ref[row, pl.ds(base, FACE_CHUNK)] += jnp.sum(
-                    g, axis=0)
+            G = jnp.concatenate([g0, g1, g2, gz], axis=1)
+            dC = jax.lax.dot_general(PT, G, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            sl = pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)
+            dmat_ref[:, sl] += dC
             return 0
 
-        jax.lax.cond(active, do_chunk, lambda _: 0, 0)
+        jax.lax.cond(_cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi),
+                     do_chunk, lambda _: 0, 0)
         return 0
 
     jax.lax.fori_loop(bounds_ref[s, 0], bounds_ref[s, 1], chunk_body,
                       0)
 
 
-def _run_backward(table, dz, dlk, amin, win, inv_blur, znear):
-    F_pad = table.shape[1]
+def _run_backward(mat, meta, agg, dz, dlk, amin, win, inv_blur, znear):
+    F_pad = meta.shape[1]
+    nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
-    npx = STRIP_H * win
+    npx = STRIP_H * (win // N_XB)
     kernel = functools.partial(_bwd_kernel, win=win,
-                               n_chunks=F_pad // FACE_CHUNK,
                                inv_blur=inv_blur, znear=znear)
-    as_col = lambda x: x.reshape(n_strips * npx, 1)
-    bounds = _strip_chunk_bounds(table, win)
+    bounds = _strip_chunk_bounds(meta, win)
+    col_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * N_XB + xb, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(n_strips,),
+        grid=(n_strips, N_XB),
         in_specs=[
-            pl.BlockSpec((n_strips, 2), lambda s: (0, 0),
+            pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((NCOLS, F_pad), lambda s: (0, 0),
+            pl.BlockSpec((nc, 4), lambda s, xb: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, NPLANES * F_pad), lambda s, xb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npx, 1), lambda s: (s, 0),
+            pl.BlockSpec((META_ROWS, F_pad), lambda s, xb: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npx, 1), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((npx, 1), lambda s: (s, 0),
-                         memory_space=pltpu.VMEM),
+            col_spec, col_spec, col_spec,
         ],
-        out_specs=[pl.BlockSpec((NCOLS, F_pad), lambda s: (0, 0),
+        out_specs=[pl.BlockSpec((8, NPLANES * F_pad),
+                                lambda s, xb: (0, 0),
                                 memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((NCOLS, F_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((8, NPLANES * F_pad),
+                                        jnp.float32)],
         interpret=_interpret(),
-    )(bounds, table, as_col(dz), as_col(dlk), as_col(amin))[0]
+    )(bounds, agg, mat, meta, _window_to_cells(dz, win),
+      _window_to_cells(dlk, win), _window_to_cells(amin, win))[0]
 
 
 # ---------------------------------------------------------------------------
@@ -377,57 +400,76 @@ def _run_backward(table, dz, dlk, amin, win, inv_blur, znear):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def raster_window_pallas(fuv_local, fz_and_ok, win: int,
-                         inv_blur: float, znear: float):
-    """(zbuf, sil) for one body's window from window-local face verts.
+def raster_planes_pallas(planes, extents, win: int, inv_blur: float,
+                         znear: float):
+    """(zbuf, sil) for one body's window from per-face plane coeffs.
 
-    fuv_local: (F, 3, 2); fz_and_ok: tuple(fz (F, 3), face_ok (F,)).
-    zbuf is +inf where uncovered.
+    planes: (F, 12) from rasterizer.face_planes (differentiated);
+    extents: tuple(bbox (F, 4), lo_y (F,), hi_y (F,), ok_sil (F,),
+    ok_depth (F,)) — data-only (no gradient). zbuf is +inf where
+    uncovered.
     """
-    out, _ = _raster_fwd(fuv_local, fz_and_ok, win, inv_blur, znear)
+    out, _ = _raster_fwd(planes, extents, win, inv_blur, znear)
     return out
 
 
-def _raster_fwd(fuv_local, fz_and_ok, win, inv_blur, znear):
-    fz, face_ok = fz_and_ok
+def _raster_fwd(planes, extents, win, inv_blur, znear):
+    bbox, lo_y, hi_y, ok_sil, ok_depth = extents
     reach = 3.0 / np.sqrt(inv_blur) + 1.0
-    table, order = _pack_face_table(fuv_local, fz, face_ok, reach)
-    zmin, logkeep, amin = _run_forward(table, win, inv_blur, znear)
+    mat, meta, agg, order = _pack_face_table(
+        planes, bbox, ok_sil, ok_depth, lo_y, hi_y, reach)
+    zmin, logkeep, amin = _run_forward(mat, meta, agg, win, inv_blur,
+                                       znear)
     zbuf = jnp.where(zmin >= BIG, jnp.inf, zmin)
     sil = 1.0 - jnp.exp(logkeep)
-    return (zbuf, sil), (table, order, logkeep, amin,
-                         fuv_local.shape[0])
+    return (zbuf, sil), (mat, meta, agg, order, logkeep, amin,
+                         planes.shape[0])
 
 
 def _raster_bwd(win, inv_blur, znear, res, cot):
-    table, order, logkeep, amin, F = res
+    mat, meta, agg, order, logkeep, amin, F = res
     d_zbuf, d_sil = cot
     d_z = jnp.where(jnp.isfinite(d_zbuf) & (amin >= 0), d_zbuf, 0.0)
     # sil = 1 - exp(logkeep) => d_logkeep = -exp(logkeep) * d_sil
     d_lk = -jnp.exp(logkeep) * d_sil
-    dtab = _run_backward(table, d_z, d_lk, amin, win, inv_blur, znear)
-    # unsort and unpack: sorted row r held face order[r]
+    dmat = _run_backward(mat, meta, agg, d_z, d_lk, amin, win,
+                         inv_blur, znear)
+    # invert the matmul layout: dmat[r, c, b, l] -> (F_pad, 12), then
+    # unsort (sorted row r held face order[r])
+    F_pad = meta.shape[1]
+    nc = F_pad // FACE_CHUNK
+    d_sorted = dmat[:3].reshape(3, nc, NPLANES, FACE_CHUNK).transpose(
+        1, 3, 2, 0).reshape(F_pad, 12)
     inv = jnp.zeros((F,), jnp.int32).at[order].set(
         jnp.arange(F, dtype=jnp.int32))
-    dtab_f = jnp.take(dtab[:9], inv, axis=1)      # (9, F)
-    d_fuv = dtab_f[0:6].T.reshape(F, 3, 2)
-    d_fz = dtab_f[6:9].T
-    return d_fuv, (d_fz, jnp.zeros((F,), bool))
+    d_planes = jnp.take(d_sorted, inv, axis=0)         # (F, 12)
+    zeros_f = jnp.zeros((F,), jnp.float32)
+    zeros_b = jnp.zeros((F,), bool)
+    return d_planes, (jnp.zeros((F, 4), jnp.float32), zeros_f, zeros_f,
+                      zeros_b, zeros_b)
 
 
-raster_window_pallas.defvjp(_raster_fwd, _raster_bwd)
+raster_planes_pallas.defvjp(_raster_fwd, _raster_bwd)
 
 
 def rasterize_body_pallas(verts, faces, cam_K,
                           settings: RasterSettings):
-    """Drop-in Pallas counterpart of rasterizer.rasterize_body."""
+    """Drop-in Pallas counterpart of rasterizer.rasterize_body
+    ("edge_lines" semantics). Vertex gradients flow by autodiff
+    through face_planes; only the pixel-streaming kernel carries a
+    custom VJP (w.r.t. the plane coefficients)."""
     uvz = project_points(verts, cam_K, return_depth=True)
     uv, z = uvz[..., :2], uvz[..., 2]
     origin = window_origin(uv, z, settings)
     fuv = uv[faces] - origin.astype(uv.dtype)
     fz = z[faces]
-    face_ok = jnp.all(fz > settings.znear, axis=-1)
+    planes, bbox, ok_sil, ok_depth = face_planes(fuv, fz,
+                                                 settings.znear)
+    reach = 3.0 * float(np.sqrt(settings.sil_blur_px2)) + 1.0
+    lo_y = bbox[:, 2] - reach
+    hi_y = bbox[:, 3] + reach
     inv_blur = 1.0 / settings.sil_blur_px2
-    zbuf, sil = raster_window_pallas(
-        fuv, (fz, face_ok), settings.window, inv_blur, settings.znear)
+    zbuf, sil = raster_planes_pallas(
+        planes, (bbox, lo_y, hi_y, ok_sil, ok_depth), settings.window,
+        inv_blur, settings.znear)
     return {"zbuf": zbuf, "sil": sil, "origin": origin}

@@ -29,6 +29,22 @@ Design (TPU-first, static shapes):
 
 Distances are computed in pixel units; the NDC blur radii of the
 reference convert via blur_px^2 = blur_ndc * (min(H, W)/2)^2.
+
+Two distance semantics (RasterSettings.sil_mode):
+  * "edge_lines" (default, what the Pallas kernel computes): the
+    signed distance is max over the face's three unit-normalized edge
+    LINE functions — every per-(pixel, face) quantity (the three edge
+    distances and interpolated z) is then affine in the pixel coords,
+    so a face costs 4 precomputed planes + a handful of VPU FMAs
+    instead of three point-segment projections. Exact inside the
+    triangle and in the edge Voronoi regions; in the corner wedges
+    outside it underestimates the true distance by at most the wedge
+    geometry (<= sqrt(2) for right angles), i.e. the soft silhouette
+    is marginally wider around vertices — a sub-blur-radius
+    (~0.6 px) effect.
+  * "segment": exact point-to-triangle (segment) distance, matching
+    PyTorch3D's definition; kept as the semantic reference and for
+    parity tests.
 """
 
 from __future__ import annotations
@@ -71,6 +87,10 @@ class RasterSettings(NamedTuple):
     # "brute", or "auto" (pallas on TPU, tiles elsewhere — the pallas
     # interpreter is too slow for CPU test loops).
     backend: str = "auto"
+    # Distance semantics: "edge_lines" (affine planes, what the Pallas
+    # kernel computes — see module docstring) or "segment" (exact
+    # point-triangle distance, PyTorch3D parity).
+    sil_mode: str = "edge_lines"
 
     @property
     def sil_blur_px2(self) -> float:
@@ -81,6 +101,83 @@ class RasterSettings(NamedTuple):
     def depth_blur_px2(self) -> float:
         s = min(self.image_size) / 2.0
         return float(self.blur_ndc_depth * s * s)
+
+
+def face_planes(fuv, fz, znear, eps: float = 1e-12):
+    """Per-face affine plane coefficients for the pair test.
+
+    fuv: (F, 3, 2) screen-space face vertices; fz: (F, 3) camera z.
+    Returns (planes (F, 12) f32, bbox (F, 4) f32 stop-gradient,
+    ok_sil (F,) bool, ok_depth (F,) bool): the 12 plane columns are
+    three unit-normalized edge line functions (nx, ny, c) oriented
+    inside-negative followed by the z interpolation plane (za, zb, zc),
+    so that for a pixel p:
+        d_i(p)  = nx_i*px + ny_i*py + c_i      (signed edge distance)
+        d(p)    = max(max_i d_i(p), bbox_d(p)) (<= 0 inside)
+        z(p)    = za*px + zb*py + zc           (barycentric z,
+                                                perspective_correct=False)
+    bbox = (lox, hix, loy, hiy) clamps the signed distance with the
+    Chebyshev distance to the face's bbox — without it, near-degenerate
+    slivers leak coverage along the infinite extension of their edge
+    LINES (beyond the sliver tip all three line distances stay <= 0).
+    ok_sil gates silhouette contributions (all verts in front of the
+    camera), ok_depth additionally requires a non-degenerate screen
+    area.
+
+    This is plain differentiable JAX; autodiff through it provides the
+    plane->vertex chain rule for the Pallas kernel's custom VJP.
+    """
+    ax, ay = fuv[:, 0, 0], fuv[:, 0, 1]
+    bx, by = fuv[:, 1, 0], fuv[:, 1, 1]
+    cx, cy = fuv[:, 2, 0], fuv[:, 2, 1]
+    area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+    sgn = jnp.where(area < 0, -1.0, 1.0)
+
+    def edge(x0, y0, x1, y1):
+        ex, ey = x1 - x0, y1 - y0
+        inv_len = jax.lax.rsqrt(jnp.maximum(ex * ex + ey * ey, eps))
+        return (sgn * ey * inv_len, -sgn * ex * inv_len,
+                sgn * (ex * y0 - ey * x0) * inv_len)
+
+    n0x, n0y, c0 = edge(ax, ay, bx, by)
+    n1x, n1y, c1 = edge(bx, by, cx, cy)
+    n2x, n2y, c2 = edge(cx, cy, ax, ay)
+
+    ok_area = jnp.abs(area) > 1e-9
+    inv_a = jnp.where(ok_area, 1.0, 0.0) / jnp.where(ok_area, area, 1.0)
+    z0, z1, z2 = fz[:, 0], fz[:, 1], fz[:, 2]
+    za = (z0 * (by - cy) + z1 * (cy - ay) + z2 * (ay - by)) * inv_a
+    zb = (z0 * (cx - bx) + z1 * (ax - cx) + z2 * (bx - ax)) * inv_a
+    zc = (z0 * (bx * cy - by * cx) + z1 * (cx * ay - cy * ax)
+          + z2 * (ax * by - ay * bx)) * inv_a
+
+    planes = jnp.stack([n0x, n0y, c0, n1x, n1y, c1, n2x, n2y, c2,
+                        za, zb, zc], axis=-1)
+    bbox = jax.lax.stop_gradient(jnp.stack(
+        [jnp.min(fuv[..., 0], axis=1), jnp.max(fuv[..., 0], axis=1),
+         jnp.min(fuv[..., 1], axis=1), jnp.max(fuv[..., 1], axis=1)],
+        axis=-1))
+    ok_sil = jnp.all(fz > znear, axis=-1)
+    return planes, bbox, ok_sil, ok_sil & ok_area
+
+
+def eval_planes(px, py, planes, bbox, znear):
+    """Evaluate plane-mode pair quantities on broadcastable pixel grids.
+
+    px, py: broadcastable against planes[..., 0]; planes: (..., 12);
+    bbox: (..., 4). Returns (d2s signed squared distance, zi,
+    inside-geometry): the shared semantics of all three backends in
+    "edge_lines" mode. Callers compose coverage as
+    inside & ok_depth & (zi > znear).
+    """
+    d0 = planes[..., 0] * px + planes[..., 1] * py + planes[..., 2]
+    d1 = planes[..., 3] * px + planes[..., 4] * py + planes[..., 5]
+    d2 = planes[..., 6] * px + planes[..., 7] * py + planes[..., 8]
+    zi = planes[..., 9] * px + planes[..., 10] * py + planes[..., 11]
+    bb = jnp.maximum(jnp.maximum(bbox[..., 0] - px, px - bbox[..., 1]),
+                     jnp.maximum(bbox[..., 2] - py, py - bbox[..., 3]))
+    d = jnp.maximum(jnp.maximum(d0, jnp.maximum(d1, d2)), bb)
+    return d * jnp.abs(d), zi, d <= 0
 
 
 def _point_triangle_signed_d2(px, py, tri):
@@ -153,6 +250,58 @@ def window_origin(uv, z, settings: RasterSettings):
     return jnp.clip(origin, 0, max_xy)
 
 
+def _raster_window_planes(fuv, fz, face_ok, origin,
+                          settings: RasterSettings):
+    """Brute-force raster in "edge_lines" mode (same semantics as the
+    Pallas kernel, without the y-sorted strip skipping): all faces
+    against all window pixels via the affine planes."""
+    win = settings.window
+    chunk = settings.face_chunk
+    fuv_l = fuv - origin.astype(fuv.dtype)
+    planes, bbox, ok_sil, ok_depth = face_planes(fuv_l, fz,
+                                                 settings.znear)
+    ok_sil = ok_sil & face_ok
+    ok_depth = ok_depth & face_ok
+
+    F = fuv.shape[0]
+    pad = (-F) % chunk
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, 12), planes.dtype)])
+        bbox = jnp.concatenate([bbox, jnp.zeros((pad, 4), bbox.dtype)])
+        ok_sil = jnp.concatenate([ok_sil, jnp.zeros((pad,), bool)])
+        ok_depth = jnp.concatenate([ok_depth, jnp.zeros((pad,), bool)])
+
+    xs = jnp.arange(win, dtype=fuv.dtype) + 0.5
+    px = xs[None, :, None]
+    py = xs[:, None, None]
+    inv_blur = 1.0 / settings.sil_blur_px2
+
+    def chunk_step(carry, inp):
+        zmin, logkeep = carry
+        cpl, cbb, coks, cokd = inp
+        d2s, zi, inside = eval_planes(px, py, cpl[None, None],
+                                      cbb[None, None], settings.znear)
+        covered = inside & cokd[None, None] & (zi > settings.znear)
+        zmin = jnp.minimum(
+            zmin, jnp.min(jnp.where(covered, zi, jnp.inf), axis=-1))
+        ls = jax.nn.log_sigmoid(d2s * inv_blur)
+        logkeep = logkeep + jnp.sum(
+            jnp.where(coks[None, None], ls, 0.0), axis=-1)
+        return (zmin, logkeep), None
+
+    init = (jnp.full((win, win), jnp.inf, fuv.dtype),
+            jnp.zeros((win, win), fuv.dtype))
+    n_chunks = (F + pad) // chunk
+    (zbuf, logkeep), _ = jax.lax.scan(
+        jax.checkpoint(chunk_step), init,
+        (planes.reshape(n_chunks, chunk, 12),
+         bbox.reshape(n_chunks, chunk, 4),
+         ok_sil.reshape(n_chunks, chunk),
+         ok_depth.reshape(n_chunks, chunk)))
+    return zbuf, 1.0 - jnp.exp(logkeep)
+
+
 def _raster_window(fuv, fz, face_ok, origin, settings: RasterSettings):
     """Rasterize one body's faces onto its crop window.
 
@@ -160,6 +309,8 @@ def _raster_window(fuv, fz, face_ok, origin, settings: RasterSettings):
     face_ok: (F,) bool; origin: (2,) int32.
     Returns (zbuf (win, win), sil (win, win)); zbuf = +inf where empty.
     """
+    if settings.sil_mode == "edge_lines":
+        return _raster_window_planes(fuv, fz, face_ok, origin, settings)
     win = settings.window
     chunk = settings.face_chunk
     F = fuv.shape[0]
@@ -286,22 +437,40 @@ def _raster_window_tiled(fuv, fz, face_ok, origin,
     py = ty0[:, None, None] + oy.reshape(1, tile * tile, 1)
 
     inv_blur = 1.0 / settings.sil_blur_px2
+    use_planes = settings.sil_mode == "edge_lines"
+    if use_planes:
+        planes, pbbox, ok_sil, ok_depth = face_planes(fuv_local, fz,
+                                                      settings.znear)
+        ok_sil = ok_sil & face_ok
+        ok_depth = ok_depth & face_ok
 
     def chunk_step(carry, inp):
         zmin_acc, logkeep = carry
         cidx, cok = inp               # (NT, kc), (NT, kc)
-        cuv = fuv_local[cidx]         # (NT, kc, 3, 2)
-        cz = fz[cidx]                 # (NT, kc, 3)
-        ok = cok & jnp.all(cz > settings.znear, axis=-1)
-        tri = cuv[:, None]            # (NT, 1, kc, 3, 2)
-        d2s, inside = _point_triangle_signed_d2(px, py, tri)
-        zi = _barycentric_z(px, py, tri, cz[:, None])
-        covered = inside & ok[:, None] & (zi > settings.znear)
+        if use_planes:
+            cpl = planes[cidx]        # (NT, kc, 12)
+            cbb = pbbox[cidx]
+            oks = cok & ok_sil[cidx]
+            okd = cok & ok_depth[cidx]
+            d2s, zi, inside = eval_planes(px, py, cpl[:, None],
+                                          cbb[:, None],
+                                          settings.znear)
+            covered = inside & okd[:, None] & (zi > settings.znear)
+            sil_ok = oks[:, None]
+        else:
+            cuv = fuv_local[cidx]     # (NT, kc, 3, 2)
+            cz = fz[cidx]             # (NT, kc, 3)
+            ok = cok & jnp.all(cz > settings.znear, axis=-1)
+            tri = cuv[:, None]        # (NT, 1, kc, 3, 2)
+            d2s, inside = _point_triangle_signed_d2(px, py, tri)
+            zi = _barycentric_z(px, py, tri, cz[:, None])
+            covered = inside & ok[:, None] & (zi > settings.znear)
+            sil_ok = ok[:, None]
         zmin_acc = jnp.minimum(
             zmin_acc, jnp.min(jnp.where(covered, zi, jnp.inf), axis=-1))
         ls = jax.nn.log_sigmoid(d2s * inv_blur)
         logkeep = logkeep + jnp.sum(
-            jnp.where(ok[:, None], ls, 0.0), axis=-1)
+            jnp.where(sil_ok, ls, 0.0), axis=-1)
         return (zmin_acc, logkeep), None
 
     init = (jnp.full((NT, tile * tile), jnp.inf, fuv.dtype),
@@ -328,8 +497,11 @@ def rasterize_body(verts, faces, cam_K, settings: RasterSettings):
     """
     backend = settings.backend
     if backend == "auto":
+        # pallas on TPU; plain brute scan elsewhere (at test/CPU sizes
+        # the tiled path's binning matrix + top-k compile and run
+        # slower than the dense plane scan)
         backend = ("pallas" if jax.default_backend() == "tpu"
-                   and settings.window % 8 == 0 else "tiles")
+                   and settings.window % 8 == 0 else "brute")
     if backend == "pallas":
         from .raster_pallas import rasterize_body_pallas
         return rasterize_body_pallas(verts, faces, cam_K, settings)

@@ -52,6 +52,7 @@ def _params_specs() -> E.StageParams:
 def _data_specs() -> E.SeqData:
     return E.SeqData(
         depths=P(TIME_AXIS), seg_mask=P(TIME_AXIS),
+        seg_eroded=P(TIME_AXIS),
         backmask=P(TIME_AXIS), pose2d=P(TIME_AXIS),
         poses_smpl_ref=P(TIME_AXIS), valid_smpl=P(TIME_AXIS),
         frame_valid=P(TIME_AXIS), cam_K=P())
@@ -140,6 +141,7 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
                 min_z_c=sl(min_z), max_z_c=sl(max_z),
                 depths_c=sl(data_l.depths),
                 seg_c=sl(data_l.seg_mask).astype(jnp.float32),
+                seg_er_c=sl(data_l.seg_eroded).astype(jnp.float32),
                 pose2d_c=sl(data_l.pose2d),
                 ref_poses_c=sl(data_l.poses_smpl_ref),
                 valid_smpl_c=sl(data_l.valid_smpl),

@@ -53,6 +53,8 @@ def _chunk(setup, seg, depths, pose2d, dvf=None):
         min_z_c=min_z, max_z_c=max_z,
         depths_c=jnp.asarray(depths),
         seg_c=jnp.asarray(seg),
+        seg_er_c=erode(jnp.asarray(seg, jnp.float32), kernel_size=3,
+                       iterations=2),
         pose2d_c=jnp.asarray(pose2d),
         ref_poses_c=poses,
         valid_smpl_c=jnp.ones((C, N, 1)),

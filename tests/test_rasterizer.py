@@ -163,6 +163,46 @@ def test_zbuf_gradient_wrt_depth():
     assert 0.1 < float(g) <= 1.5
 
 
+def test_tiled_backend_matches_brute():
+    """The tile-binned backend must agree with the brute scan (both in
+    the default edge_lines mode)."""
+    verts, faces = _tri_mesh()
+    common = dict(image_size=(64, 64), window=64, face_chunk=2,
+                  tile=4, faces_per_tile=2)
+    o_b = rasterize_body(jnp.asarray(verts), jnp.asarray(faces),
+                         jnp.asarray(K64),
+                         RasterSettings(backend="brute", **common))
+    o_t = rasterize_body(jnp.asarray(verts), jnp.asarray(faces),
+                         jnp.asarray(K64),
+                         RasterSettings(backend="tiles", **common))
+    z_b, z_t = np.asarray(o_b["zbuf"]), np.asarray(o_t["zbuf"])
+    assert (np.isfinite(z_b) == np.isfinite(z_t)).all()
+    both = np.isfinite(z_b)
+    np.testing.assert_allclose(z_t[both], z_b[both], atol=1e-4)
+    np.testing.assert_allclose(np.asarray(o_t["sil"]),
+                               np.asarray(o_b["sil"]), atol=1e-4)
+
+
+def test_segment_mode_close_to_edge_lines():
+    """The fast edge_lines distance deviates from the exact segment
+    distance only in sub-blur corner wedges: silhouettes must agree
+    closely everywhere."""
+    verts, faces = _tri_mesh()
+    o_seg = full_image_raster(jnp.asarray(verts), jnp.asarray(faces),
+                              jnp.asarray(K64), (64, 64), face_chunk=2,
+                              sil_mode="segment")
+    o_lin = full_image_raster(jnp.asarray(verts), jnp.asarray(faces),
+                              jnp.asarray(K64), (64, 64), face_chunk=2,
+                              sil_mode="edge_lines")
+    z_s, z_l = np.asarray(o_seg["zbuf"]), np.asarray(o_lin["zbuf"])
+    assert (np.isfinite(z_s) == np.isfinite(z_l)).all()
+    both = np.isfinite(z_s)
+    np.testing.assert_allclose(z_l[both], z_s[both], atol=1e-4)
+    diff = np.abs(np.asarray(o_seg["sil"]) - np.asarray(o_lin["sil"]))
+    assert diff.max() < 0.35          # only corner-wedge softness
+    assert diff.mean() < 0.002
+
+
 def test_batched_raster_shapes():
     verts, faces = _tri_mesh()
     batch = jnp.stack([jnp.asarray(verts)] * 3)
