@@ -82,6 +82,7 @@ class Predictor:
         n_dev = jax.device_count()
         self.use_spmd = (bool(getattr(parsed_args, "spmd", n_dev > 1))
                          and n_dev > 1)
+        user_bucket = int(getattr(parsed_args, "frame_bucket", 0) or 0)
         if self.use_spmd:
             # Chunk size only sets the scan step — the loss sums over
             # all frames either way — so snap it to a power of two and
@@ -91,9 +92,9 @@ class Predictor:
             # the shard constraint never held and SPMD silently fell
             # back to one chip).
             chunk = 1 << max(chunk.bit_length() - 1, 1)
-            bucket = int(np.lcm(chunk * n_dev, 64))
+            bucket = int(np.lcm(chunk * n_dev, user_bucket or 64))
         else:
-            bucket = 64
+            bucket = user_bucket or 64
         self.cfg = E.EngineConfig(
             image_size=(W, H),
             num_people=seq.num_people,

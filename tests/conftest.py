@@ -20,6 +20,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the engine programs take tens of seconds
+# of XLA:CPU compilation each; repeat suite runs skip them entirely.
+_cache = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache_cpu")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -55,6 +55,7 @@ def config_yml(tmp_path_factory, mupots_tree):
             "save_visualizations": False,
             "raster_window": 64,
             "frame_bucket": 1,
+            "spmd": False,
         },
         "smpl": {"smpl_model_parameters_path": "/nonexistent-synthetic"},
         "data": {

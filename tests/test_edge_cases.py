@@ -22,7 +22,7 @@ def _args():
         reg_scales_coef=1e-4, reg_velocity_coef=0.05,
         reg_verts_filter_coef=0.002, reg_contact_coef=0.001,
         reg_foot_sliding_coef=0.01, joint_confidence_thr=0.5,
-        raster_window=32, frame_bucket=1)
+        raster_window=32, frame_bucket=1, spmd=False)
 
 
 def _run(num_frames, num_people):

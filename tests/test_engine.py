@@ -38,7 +38,8 @@ def tiny_problem():
         [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], axis=-1)
 
     cfg = E.EngineConfig(image_size=(W, H), num_people=N, num_frames=T,
-                         chunk=4, window=32, face_chunk=128)
+                         chunk=4, window=32, face_chunk=128,
+                         frame_bucket=8)
     return dict(model=model, cfg=cfg, K=K, pose2d=pose2d,
                 poses_smpl=poses_smpl, betas=betas,
                 poses_T_gt=poses_T_gt)

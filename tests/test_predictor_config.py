@@ -58,7 +58,7 @@ def test_spmd_engages_on_default_mupots_config(tiny_smpl, tmp_path):
     """The flagship config (batch_size=10) must shard on the 8-device
     mesh: round-1 silently fell back to one chip because padded_frames
     (multiple of 70) never divided 8*10."""
-    p = Predictor(_tiny_seq(T=201), tiny_smpl, str(tmp_path),
+    p = Predictor(_tiny_seq(T=201, side=64), tiny_smpl, str(tmp_path),
                   _default_args())
     n_dev = jax.device_count()
     assert n_dev == 8
@@ -71,7 +71,7 @@ def test_spmd_engages_on_default_mupots_config(tiny_smpl, tmp_path):
 def test_spmd_engages_for_every_mupots_length(tiny_smpl, tmp_path):
     """MuPoTs TS sequence lengths range 201..2300 — all must shard."""
     for T in (201, 250, 500, 1198, 2300):
-        p = Predictor(_tiny_seq(T=T), tiny_smpl, str(tmp_path),
+        p = Predictor(_tiny_seq(T=T, side=64), tiny_smpl, str(tmp_path),
                       _default_args())
         assert p.cfg.padded_frames % (
             jax.device_count() * p.cfg.chunk) == 0, T
