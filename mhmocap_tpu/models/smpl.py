@@ -389,3 +389,57 @@ def rot_mat_to_euler(rot_mats):
     """Rotation matrices -> y-axis Euler angle (smpl.py:595-601)."""
     sy = jnp.sqrt(rot_mats[..., 0, 0] ** 2 + rot_mats[..., 1, 0] ** 2)
     return jnp.arctan2(-rot_mats[..., 2, 0], sy)
+
+
+if __name__ == "__main__":
+    # Visual LBS sanity harness (parity with reference smpl.py:749-777,
+    # which zero-poses a body, bends one joint, and renders with vedo):
+    # build a model (real SMPL_NEUTRAL.pkl via $SMPL_MODEL if present,
+    # synthetic otherwise), bend the left elbow by 90 degrees, print
+    # joint statistics, and save a front-view scatter PNG.
+    import os as _os
+    import sys as _sys
+
+    import numpy as _np
+
+    # host-side sanity tool: run on CPU (the remote-TPU compile tunnel
+    # costs minutes; the reference harness is CPU/vedo too)
+    jax.config.update("jax_platforms", "cpu")
+
+    path = _os.environ.get("SMPL_MODEL", "")
+    if path and _os.path.exists(path):
+        model = load_smpl_model(path)
+        print(f"loaded SMPL model from {path}")
+    else:
+        from .synthetic import make_synthetic_smpl
+        model = make_synthetic_smpl()
+        print("SMPL_MODEL not set; using the synthetic body")
+
+    poses = jnp.zeros((2, 72))
+    poses = poses.at[1, 3 * 18 + 0].set(jnp.pi / 2)   # bend L elbow
+    out = smpl_forward(model, jnp.zeros((2, 10)), poses)
+    verts = _np.asarray(out["verts"])
+    joints = _np.asarray(out["joints_smpl24"])
+    moved = _np.abs(verts[1] - verts[0]).max(axis=-1)
+    print(f"verts: {verts.shape}, joints: {joints.shape}")
+    print(f"zero-pose extent y: [{verts[0, :, 1].min():+.3f}, "
+          f"{verts[0, :, 1].max():+.3f}] m")
+    print(f"bent-elbow moved {int((moved > 1e-4).sum())} / "
+          f"{verts.shape[1]} vertices (max {moved.max():.3f} m)")
+    assert (moved > 1e-4).any(), "bending a joint must move vertices"
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, 2, figsize=(8, 5))
+        for i, ax in enumerate(axes):
+            ax.scatter(verts[i, :, 0], -verts[i, :, 1], s=0.5)
+            ax.set_aspect("equal")
+            ax.set_title(["zero pose", "L elbow 90deg"][i])
+        fname = _os.path.join(_os.getcwd(), "smpl_smoke.png")
+        fig.savefig(fname, dpi=110)
+        print(f"render saved to {fname}")
+    except Exception as e:  # rendering is best-effort
+        print(f"render skipped: {e}", file=_sys.stderr)

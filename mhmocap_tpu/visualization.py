@@ -26,7 +26,8 @@ from .config import ConfigContext, parse_args
 from .models.loader import resolve_smpl_model
 from .models.smpl import smpl_forward
 from .ops.image import bilateral_filter
-from .viz.viewer3d import SceneHumansVisualizer, HAVE_OPEN3D
+from .viz.viewer3d import (HAVE_OPEN3D, SceneHumansVisualizer,
+                           SkeletonVisualizer)
 
 
 def main(argv=None):
@@ -68,9 +69,33 @@ def main(argv=None):
         verts = (np.asarray(out["verts"]).reshape(T, N, -1, 3)
                  * optvar["scale_factor"] + optvar["poses_T"])
 
-        viewer = SceneHumansVisualizer(
-            verts, np.asarray(model.faces), scene_img, scene_depth,
-            scene_mask, vis_data["cam"], valid=vis_data.get("valid"))
+        mode = getattr(parsed, "viz_mode", "scene") or "scene"
+        cap_color = bool(getattr(parsed, "capture_rendered_color",
+                                 False))
+        cap_depth = bool(getattr(parsed, "capture_rendered_depth",
+                                 False))
+        capture_dir = os.path.join(base, "viz3d_frames")
+
+        if mode == "skeleton":
+            # skeleton view of the regressed MuPoTs joints
+            joints = (np.asarray(out["joints_mupots"]).reshape(
+                T, N, -1, 3) * optvar["scale_factor"]
+                + optvar["poses_T"])
+            vis15 = np.ones(joints.shape[:3] + (1,), np.float32)
+            viewer = SkeletonVisualizer(
+                vis_data["cam"], joints, vis15,
+                output_path=capture_dir,
+                capture_rendered_color=cap_color)
+        else:
+            viewer = SceneHumansVisualizer(
+                scene_img, scene_depth, vis_data["cam"],
+                vertices=verts, faces=np.asarray(model.faces),
+                valid_vertices=vis_data.get("valid"),
+                scene_mask=scene_mask,
+                output_path=capture_dir,
+                capture_rendered_color=cap_color,
+                capture_rendered_depth=cap_depth,
+                show_coordinate_axis=False)
         if HAVE_OPEN3D and os.environ.get("DISPLAY"):
             viewer.run()
         else:
