@@ -129,6 +129,33 @@ def test_init_translations_close_to_gt(predict_output, mupots_tree):
     assert err_xy.mean() < 0.25, err_xy.mean()
 
 
+def test_eval_route_matches_reingestion(predict_output, mupots_tree):
+    """Eval-route parity (reference eval_mupots.py:121-128 re-ingests
+    the dataset with the eval config; this framework reads the stored
+    mupots_annot.pkl instead): the stored cam_K and GT slicing must
+    equal a fresh re-ingestion of the on-disk tree."""
+    from mhmocap_tpu.data import mupots
+
+    data_path, _, _ = mupots_tree
+    with open(os.path.join(predict_output, "TS1",
+                           "mupots_annot.pkl"), "rb") as f:
+        stored = pickle.load(f)
+
+    annot, occl, cam_K = mupots.load_sequence_metadata(
+        os.path.join(data_path, "TS1", "images"))
+    T = stored["pose3d_gt"].shape[0]
+    p3d, p3d_univ, vis = mupots.slice_ground_truth(
+        annot, occl, frame_ids=range(T))
+
+    # resize_factor is 1.0 in the e2e config, so the stored
+    # working-resolution intrinsics equal the tree's intrinsics.txt
+    np.testing.assert_allclose(stored["cam_K"], cam_K, rtol=1e-6)
+    np.testing.assert_allclose(stored["pose3d_gt"], p3d, rtol=1e-6)
+    np.testing.assert_allclose(stored["pose3d_univ_gt"], p3d_univ,
+                               rtol=1e-6)
+    np.testing.assert_array_equal(stored["visibility"], vis)
+
+
 def test_eval_mupots_writes_results(predict_output, mupots_tree,
                                     config_yml, monkeypatch_module):
     _, _, model = mupots_tree
