@@ -90,10 +90,11 @@ class EngineConfig:
     scene_update_every: int = 1
     cam_dist_coef: Optional[Tuple[float, ...]] = None
     # Rematerialize chunk forwards in the backward pass. None = auto:
-    # only when the sequence is long enough that storing per-chunk
-    # residuals (~150MB each, dominated by the rasterizer) would blow
-    # HBM. Without remat a cycle skips one full re-execution of the
-    # Pallas forward kernel (~25% faster).
+    # only when the sequence is long enough that storing per-body
+    # residuals (face tables ~1.7 MB + window buffers) would blow HBM.
+    # When remat engages, the save_only_these_names middle tier (see
+    # remat_policy) still keeps the Pallas kernel outputs, so only the
+    # cheap chunk prep is re-executed in the backward pass.
     remat_chunks: Optional[bool] = None
     # Pad the sequence length to a multiple of this bucket so different
     # sequences (MuPoTs TS1..20 range 201..2300 frames) share compiled
@@ -105,7 +106,11 @@ class EngineConfig:
     def use_remat(self) -> bool:
         if self.remat_chunks is not None:
             return self.remat_chunks
-        return self.num_chunks > 16
+        # full-residual estimate per body: face tables (full SMPL) +
+        # four window-sized buffers; remat when past ~6 GB of HBM
+        bodies = self.padded_frames * self.num_people
+        per_body = 1.7e6 + 16.0 * self.window ** 2
+        return bodies * per_body > 6e9
 
     @property
     def padded_frames(self) -> int:
@@ -388,6 +393,18 @@ LOG_KEYS = ("loss_pose24j", "loss_depth", "loss_silhouette",
             "reg_foot_sliding", "reg_vel", "reg_filter_verts")
 
 
+def remat_policy():
+    """Middle remat tier for long sequences: keep only the Pallas
+    rasterizer's small backward residuals (named in
+    ops/raster_pallas._raster_fwd) and recompute everything else —
+    the backward re-runs the cheap chunk prep (SMPL forward, face
+    planes, table pack) but never the forward pixel-streaming kernel.
+    ~130 KB/body saved instead of ~2 MB, at a fraction of full
+    rematerialization's recompute cost."""
+    return jax.checkpoint_policies.save_only_these_names(
+        "raster_residuals")
+
+
 class ChunkInputs(NamedTuple):
     """All tensors of one frame chunk [t0, t0+C) with a 1-frame halo
     (leading element of *_h arrays is frame t0-1). Built either by
@@ -628,8 +645,7 @@ def _cycle_loss(params: StageParams, model: SMPLModel, data: SeqData,
                                 data.cam_K, aux, coefs, cfg)
 
     if cfg.use_remat:
-        chunk_fn = jax.checkpoint(
-            chunk_fn, policy=jax.checkpoint_policies.nothing_saveable)
+        chunk_fn = jax.checkpoint(chunk_fn, policy=remat_policy())
 
     def body(carry, i):
         acc_loss, acc_parts = carry

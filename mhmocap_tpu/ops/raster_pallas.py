@@ -414,14 +414,25 @@ def raster_planes_pallas(planes, extents, win: int, inv_blur: float,
 
 
 def _raster_fwd(planes, extents, win, inv_blur, znear):
+    from jax.ad_checkpoint import checkpoint_name
+
     bbox, lo_y, hi_y, ok_sil, ok_depth = extents
     reach = 3.0 / np.sqrt(inv_blur) + 1.0
     mat, meta, agg, order = _pack_face_table(
         planes, bbox, ok_sil, ok_depth, lo_y, hi_y, reach)
     zmin, logkeep, amin = _run_forward(mat, meta, agg, win, inv_blur,
                                        znear)
+    # Middle remat tier: under jax.checkpoint with the engine's
+    # save_only_these_names policy, the backward pass keeps ONLY these
+    # four small kernel outputs (~260 KB/body: the custom-VJP
+    # residuals AND the zbuf/sil consumed by the downstream loss) and
+    # recomputes the cheap prep (SMPL forward, planes, table pack) —
+    # never the forward pixel-streaming kernel itself.
+    logkeep = checkpoint_name(logkeep, "raster_residuals")
+    amin = checkpoint_name(amin, "raster_residuals")
+    zmin = checkpoint_name(zmin, "raster_residuals")
     zbuf = jnp.where(zmin >= BIG, jnp.inf, zmin)
-    sil = 1.0 - jnp.exp(logkeep)
+    sil = checkpoint_name(1.0 - jnp.exp(logkeep), "raster_residuals")
     return (zbuf, sil), (mat, meta, agg, order, logkeep, amin,
                          planes.shape[0])
 

@@ -156,9 +156,8 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
                 data_l.cam_K, aux_l, coefs_l, cfg)
 
         if cfg.use_remat:
-            chunk_fn = jax.checkpoint(
-                chunk_fn,
-                policy=jax.checkpoint_policies.nothing_saveable)
+            chunk_fn = jax.checkpoint(chunk_fn,
+                                      policy=E.remat_policy())
 
         def body(carry, i):
             acc_l, acc_p = carry
