@@ -79,6 +79,31 @@ def test_spmd_engages_for_every_mupots_length(tiny_smpl, tmp_path):
         assert p.cfg.padded_frames - T < p.cfg.frame_bucket + p.cfg.chunk
 
 
+def test_predictor_fit_shards_over_mesh(tiny_smpl, tmp_path, capsys):
+    """Predictor.run must actually engage the SPMD path on the
+    8-device mesh (round-1 regression: it silently fell back to one
+    chip) — the sharding banner prints and outputs are finite."""
+    T, N, side = 16, 2, 64
+    rng = np.random.RandomState(3)
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 0] = side / 2 + 8 * rng.randn(T, N, 17)
+    pose2d[..., 1] = side / 2 + 8 * rng.randn(T, N, 17)
+    pose2d[..., 2] = 0.9
+    seq = _tiny_seq(T=T, N=N, side=side, pose2d=pose2d)
+    seq.seg_mask[:, :, 16:48, 16:48] = 1.0
+    args = _default_args(batch_size=2, frame_bucket=16, num_iter=2,
+                         raster_window=32)
+    p = Predictor(seq, tiny_smpl, str(tmp_path), args)
+    assert p.use_spmd
+    assert p.cfg.padded_frames == 16       # 8 devices x 1 chunk x 2
+    out = p.run()
+    captured = capsys.readouterr().out
+    assert "sharding 16 frames over 8 devices" in captured
+    ov = out["stage1_optvar"]
+    assert np.isfinite(ov["poses_T"]).all()
+    assert np.isfinite(ov["poses_smpl"]).all()
+
+
 def test_window_guard_grows_for_large_person(tiny_smpl, tmp_path):
     """A person taller than the requested window must grow the window
     instead of silently clipping supervision (reference rasterizes the
