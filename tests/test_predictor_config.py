@@ -79,23 +79,31 @@ def test_spmd_engages_for_every_mupots_length(tiny_smpl, tmp_path):
         assert p.cfg.padded_frames - T < p.cfg.frame_bucket + p.cfg.chunk
 
 
-def test_predictor_fit_shards_over_mesh(tiny_smpl, tmp_path, capsys):
+def test_predictor_fit_shards_over_mesh(tmp_path, capsys):
     """Predictor.run must actually engage the SPMD path on the
     8-device mesh (round-1 regression: it silently fell back to one
-    chip) — the sharding banner prints and outputs are finite."""
-    T, N, side = 16, 2, 64
+    chip) — the sharding banner prints and outputs are finite.
+
+    Shapes deliberately match tests/test_spmd.py's fixture (32x32,
+    N=2, T=16, chunk=2, window=16, V=256) so the sharded cycle
+    program is a jit-cache hit within one suite run."""
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+
+    T, N, side = 16, 2, 32
+    model = make_synthetic_smpl(num_vertices=256, seed=2)
     rng = np.random.RandomState(3)
     pose2d = np.zeros((T, N, 17, 3), np.float32)
-    pose2d[..., 0] = side / 2 + 8 * rng.randn(T, N, 17)
-    pose2d[..., 1] = side / 2 + 8 * rng.randn(T, N, 17)
+    pose2d[..., 0] = side / 2 + 1.5 * rng.randn(T, N, 17)
+    pose2d[..., 1] = side / 2 + 1.5 * rng.randn(T, N, 17)
     pose2d[..., 2] = 0.9
     seq = _tiny_seq(T=T, N=N, side=side, pose2d=pose2d)
-    seq.seg_mask[:, :, 16:48, 16:48] = 1.0
+    seq.seg_mask[:, :, 8:24, 8:24] = 1.0
     args = _default_args(batch_size=2, frame_bucket=16, num_iter=2,
-                         raster_window=32)
-    p = Predictor(seq, tiny_smpl, str(tmp_path), args)
+                         raster_window=16)
+    p = Predictor(seq, model, str(tmp_path), args)
     assert p.use_spmd
     assert p.cfg.padded_frames == 16       # 8 devices x 1 chunk x 2
+    assert p.cfg.window == 16
     out = p.run()
     captured = capsys.readouterr().out
     assert "sharding 16 frames over 8 devices" in captured

@@ -35,9 +35,11 @@ def spmd_problem():
     pose2d = np.concatenate(
         [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
 
-    # chunk=2, bucket=16 so 16 frames = 8 devices x 1 chunk (no pad)
+    # chunk=2, bucket=16 so 16 frames = 8 devices x 1 chunk (no pad);
+    # the whole config matches test_predictor_config's SPMD fit test
+    # so the sharded cycle compiles once per suite run
     cfg = E.EngineConfig(image_size=(W, H), num_people=N, num_frames=T,
-                         chunk=2, window=16, face_chunk=64,
+                         chunk=2, window=16, face_chunk=128,
                          frame_bucket=16)
     params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
                                  cfg, num_iter=20)
