@@ -16,7 +16,7 @@ feeds the MXU:
   * faces are pre-sorted by (8-px y-band, x) — one cheap two-level
     sort per body — so each 128-face chunk is spatially coherent in
     BOTH axes; per-chunk bbox aggregates land in SMEM;
-  * the grid is 2-D (y-strip, x-block): each 8 x (win/4) pixel cell
+  * the grid is 2-D (y-strip, x-block): each 8 x ~16 px pixel cell
     walks only the contiguous chunk range whose y-band can touch its
     strip (searchsorted bounds) and skips chunks outside its x-range
     with a 4-scalar SMEM test — no face data is even loaded for
@@ -51,7 +51,6 @@ from .cameras import project_points
 from .rasterizer import RasterSettings, face_planes, window_origin
 
 STRIP_H = 8          # strip height in pixels
-N_XB = 4             # x-blocks per strip (cell width = win / N_XB)
 FACE_CHUNK = 128     # faces per streamed chunk (lane dim)
 NPLANES = 4          # d0, d1, d2, z — outputs of the chunk matmul
 
@@ -69,6 +68,16 @@ BIG = 3.0e38         # finite stand-in for +inf
 def _interpret() -> bool:
     """Run in interpreter mode off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
+
+
+def _n_xb(win: int) -> int:
+    """x-blocks per strip: the narrowest cell width >= 16 px that
+    divides the window (measured optimum ~16 px cells at win=128; the
+    window is always a multiple of 8 but not necessarily of 16)."""
+    for w in range(16, win + 1):
+        if win % w == 0:
+            return win // w
+    return 1
 
 
 def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
@@ -155,7 +164,7 @@ def _strip_chunk_bounds(meta, win: int):
 
 
 def _cell_pixels(s, xb, win):
-    xw = win // N_XB
+    xw = win // _n_xb(win)
     npx = STRIP_H * xw
     rows = jax.lax.broadcasted_iota(jnp.int32, (npx, 1), 0)
     px = ((rows % xw) + xb * xw).astype(jnp.float32) + 0.5
@@ -205,7 +214,7 @@ def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
     xb = pl.program_id(1)
     px, py, npx = _cell_pixels(s, xb, win)
     P = _pixel_matrix(px, py, npx)
-    xw = win // N_XB
+    xw = win // _n_xb(win)
     x_lo = (xb * xw).astype(jnp.float32)
     x_hi = x_lo + xw
     y_lo = (s * STRIP_H).astype(jnp.float32)
@@ -248,19 +257,19 @@ def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
 
 
 def _cells_to_window(x, win):
-    """(n_strips * N_XB * npx, 1) cell-major columns -> (win, win)."""
+    """(n_strips * n_xb * npx, 1) cell-major columns -> (win, win)."""
     n_strips = win // STRIP_H
-    xw = win // N_XB
-    return x.reshape(n_strips, N_XB, STRIP_H, xw).transpose(
+    xw = win // _n_xb(win)
+    return x.reshape(n_strips, _n_xb(win), STRIP_H, xw).transpose(
         0, 2, 1, 3).reshape(win, win)
 
 
 def _window_to_cells(x, win):
     """(win, win) -> cell-major column layout (inverse of above)."""
     n_strips = win // STRIP_H
-    xw = win // N_XB
-    return x.reshape(n_strips, STRIP_H, N_XB, xw).transpose(
-        0, 2, 1, 3).reshape(n_strips * N_XB * STRIP_H * xw, 1)
+    xw = win // _n_xb(win)
+    return x.reshape(n_strips, STRIP_H, _n_xb(win), xw).transpose(
+        0, 2, 1, 3).reshape(n_strips * _n_xb(win) * STRIP_H * xw, 1)
 
 
 def _run_forward(mat, meta, agg, win: int, inv_blur: float,
@@ -268,15 +277,15 @@ def _run_forward(mat, meta, agg, win: int, inv_blur: float,
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
-    npx = STRIP_H * (win // N_XB)
+    npx = STRIP_H * (win // _n_xb(win))
     kernel = functools.partial(_fwd_kernel, win=win,
                                inv_blur=inv_blur, znear=znear)
     bounds = _strip_chunk_bounds(meta, win)
-    out_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * N_XB + xb, 0),
+    out_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * _n_xb(win) + xb, 0),
                             memory_space=pltpu.VMEM)
     zzl = pl.pallas_call(
         kernel,
-        grid=(n_strips, N_XB),
+        grid=(n_strips, _n_xb(win)),
         in_specs=[pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((nc, 4), lambda s, xb: (0, 0),
@@ -288,11 +297,11 @@ def _run_forward(mat, meta, agg, win: int, inv_blur: float,
                                memory_space=pltpu.VMEM)],
         out_specs=[out_spec, out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n_strips * N_XB * npx, 1),
+            jax.ShapeDtypeStruct((n_strips * _n_xb(win) * npx, 1),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((n_strips * N_XB * npx, 1),
+            jax.ShapeDtypeStruct((n_strips * _n_xb(win) * npx, 1),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((n_strips * N_XB * npx, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_strips * _n_xb(win) * npx, 1), jnp.int32),
         ],
         interpret=_interpret(),
     )(bounds, agg, mat, meta)
@@ -306,7 +315,7 @@ def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
     px, py, npx = _cell_pixels(s, xb, win)
     P = _pixel_matrix(px, py, npx)
     PT = P.T
-    xw = win // N_XB
+    xw = win // _n_xb(win)
     x_lo = (xb * xw).astype(jnp.float32)
     x_hi = x_lo + xw
     y_lo = (s * STRIP_H).astype(jnp.float32)
@@ -365,15 +374,15 @@ def _run_backward(mat, meta, agg, dz, dlk, amin, win, inv_blur, znear):
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
-    npx = STRIP_H * (win // N_XB)
+    npx = STRIP_H * (win // _n_xb(win))
     kernel = functools.partial(_bwd_kernel, win=win,
                                inv_blur=inv_blur, znear=znear)
     bounds = _strip_chunk_bounds(meta, win)
-    col_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * N_XB + xb, 0),
+    col_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * _n_xb(win) + xb, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(n_strips, N_XB),
+        grid=(n_strips, _n_xb(win)),
         in_specs=[
             pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
                          memory_space=pltpu.SMEM),
