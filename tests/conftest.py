@@ -10,8 +10,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's O3 pipeline is compile-heavy and, for this engine's
+# scan+checkpoint programs, actually SLOWER at runtime than O1
+# (measured on the tiny engine problem: compile 33.7 s -> 19.6 s,
+# steady cycle 3.96 s -> 2.26 s). Tests assert numerics against
+# tolerance-based goldens, which hold at either level.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=1").strip()
+os.environ["XLA_FLAGS"] = flags
 
 # The container's sitecustomize pre-registers the remote TPU ("axon")
 # backend and overrides jax_platforms, so the env var alone is not

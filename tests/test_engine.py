@@ -107,7 +107,7 @@ def test_stage1_cycle_runs_and_descends(tiny_problem):
     opt_state = opt.init(params)
 
     losses = []
-    for cycle in range(8):
+    for cycle in range(4):
         params, opt_state, loss, parts = E.stage1_cycle(
             params, opt_state, p["model"], data, aux, coefs, cfg)
         losses.append(float(loss))

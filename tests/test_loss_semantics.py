@@ -65,13 +65,29 @@ def _chunk(setup, seg, depths, pose2d, dvf=None):
     )
 
 
-def _run_core(setup, chunk, coefs, have_scene=0.0):
+# One jitted wrapper shared by every test in this module (coefs and
+# aux flags are traced, cfg is static) — eager execution of the chunk
+# loss dispatches thousands of tiny CPU ops per call and dominated the
+# suite's runtime.
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _jit_core(chunk, model, betas, scale, K, aux, coefs, cfg):
+    return E._chunk_loss_core(chunk, model, betas, scale, K, aux,
+                              coefs, cfg)
+
+
+def _run_core(setup, chunk, coefs, aux=None):
     cfg = setup["cfg"]
-    aux = E.init_aux(cfg, setup["model"].num_vertices, setup["betas"])
+    if aux is None:
+        aux = E.init_aux(cfg, setup["model"].num_vertices,
+                         setup["betas"])
     scale = jnp.ones((1, cfg.num_people, 1, 1))
-    loss, parts = E._chunk_loss_core(
-        chunk, setup["model"], setup["betas"], scale,
-        jnp.asarray(setup["K"]), aux, coefs, cfg)
+    coefs = {k: jnp.float32(v) for k, v in coefs.items()}
+    loss, parts = _jit_core(chunk, setup["model"], setup["betas"],
+                            scale, jnp.asarray(setup["K"]), aux, coefs,
+                            cfg)
     return float(loss), dict(zip(E.LOG_KEYS, np.asarray(parts)))
 
 
@@ -250,11 +266,7 @@ def test_filtered_verts_regularizer(setup):
                    dvf=jnp.full((C, N, V, 3), 0.01, jnp.bfloat16))
     aux = E.init_aux(cfg, V, setup["betas"])
     aux = aux._replace(have_filters=jnp.ones(()))
-    scale = jnp.ones((1, N, 1, 1))
-    loss, parts = E._chunk_loss_core(
-        chunk, setup["model"], setup["betas"], scale,
-        jnp.asarray(setup["K"]), aux, coefs, cfg)
-    parts = dict(zip(E.LOG_KEYS, np.asarray(parts)))
+    loss, parts = _run_core(setup, chunk, coefs, aux=aux)
     # poses identical across frames -> gv_diff == 0 for the valid pair
     # (frame 1 vs 0); target dvf = 0.01 everywhere
     dvf01 = np.float32(jnp.bfloat16(0.01))

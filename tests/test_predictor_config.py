@@ -70,8 +70,10 @@ def test_spmd_engages_on_default_mupots_config(tiny_smpl, tmp_path):
 
 def test_spmd_engages_for_every_mupots_length(tiny_smpl, tmp_path):
     """MuPoTs TS sequence lengths range 201..2300 — all must shard."""
+    # side=16 keeps the 2300-frame SequenceArrays tiny (~25 MB, not
+    # ~350 MB) — only the config math is under test here
     for T in (201, 250, 500, 1198, 2300):
-        p = Predictor(_tiny_seq(T=T, side=64), tiny_smpl, str(tmp_path),
+        p = Predictor(_tiny_seq(T=T, side=16), tiny_smpl, str(tmp_path),
                       _default_args())
         assert p.cfg.padded_frames % (
             jax.device_count() * p.cfg.chunk) == 0, T
