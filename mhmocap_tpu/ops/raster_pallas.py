@@ -9,10 +9,15 @@ feeds the MXU:
   * every per-(pixel, face) quantity is AFFINE in the pixel coords:
     faces are preprocessed (ops/rasterizer.face_planes, differentiable
     JAX) into three unit-normalized edge line functions plus a z
-    interpolation plane; one face-chunk is then evaluated as ONE
-    matmul  P(npx, 8) @ C(8, 4*128) -> [d0|d1|d2|z]  on the MXU,
-    leaving only ~25 cheap VPU ops (bbox clamp, z-min carry, soft
-    coverage) per block;
+    interpolation plane; face validity is folded into the coefficients
+    (invalid/padding faces get a constant d0 = +D_INVALID edge plane
+    and z = -D_INVALID, which make their soft coverage exactly 0 and
+    their depth coverage false), so the kernels never test per-face
+    flags. One face-chunk is then evaluated as ONE matmul
+    P(npx, 8) @ C(8, 4*128) -> [d0|d1|d2|z]  on the MXU plus a
+    VPU bbox clamp (folding the bbox into 4 more matmul planes was
+    measured 2x SLOWER: at K=8 the f32 matmul, not the VPU, is the
+    per-chunk bottleneck), leaving ~20 cheap VPU ops per block;
   * faces are pre-sorted by (8-px y-band, x) — one cheap two-level
     sort per body — so each 128-face chunk is spatially coherent in
     BOTH axes; per-chunk bbox aggregates land in SMEM;
@@ -52,17 +57,29 @@ from .rasterizer import RasterSettings, face_planes, window_origin
 
 STRIP_H = 8          # strip height in pixels
 FACE_CHUNK = 128     # faces per streamed chunk (lane dim)
-NPLANES = 4          # d0, d1, d2, z — outputs of the chunk matmul
+NPLANES = 4          # matmul/gradient planes: d0, d1, d2, z
 
-# metadata table rows (per face, y-band/x sorted)
+# bbox metadata rows (per face, y-band/x sorted; VPU clamp operands)
 ROW_LOX, ROW_HIX, ROW_LOY, ROW_HIY = 0, 1, 2, 3
-ROW_OK_SIL, ROW_OK_DEPTH, ROW_YMIN, ROW_YMAX = 4, 5, 6, 7
-META_ROWS = 8
+META_ROWS = 4
 
 # per-chunk SMEM aggregate columns (soft reach included in all four)
 AGG_XLO, AGG_XHI, AGG_YLO, AGG_YHI = 0, 1, 2, 3
 
 BIG = 3.0e38         # finite stand-in for +inf
+# Constant edge distance assigned to invalid/padding faces: large
+# enough that log_sigmoid(D^2 * inv_blur) is exactly 0.0f and its
+# sigmoid gradient exactly 0.0f (needs D^2/blur > ~104; holds for any
+# blur < 1e16 px^2), small enough that D^2 stays finite in f32.
+D_INVALID = 1.0e9
+
+# Skip chunks outside a cell's x-range with a per-chunk lax.cond
+# (True) or stream every chunk in the strip's bounds unconditionally
+# (False). Contributions of out-of-reach chunks are exactly 0 for any
+# practical blur (d^2/blur saturates log_sigmoid past ~6 px at the
+# default 0.33 px^2 blur), so both settings produce identical outputs;
+# this is a microbenchmark knob for the branch-vs-pipelining tradeoff.
+X_SKIP = True
 
 
 def _interpret() -> bool:
@@ -85,11 +102,16 @@ def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
     """Two-level sort (y-band, x) and pack the kernel tables.
 
     Returns (mat (8, NPLANES*F_pad), meta (META_ROWS, F_pad),
-    agg (NC, 4), order): mat[r, (ch*NPLANES + b)*FACE_CHUNK + l] =
-    plane coefficient r (x, y, const) of plane b (edge0..2, z) of
-    sorted face ch*FACE_CHUNK+l — each chunk owns a contiguous matmul
-    operand. agg is the per-chunk reach-expanded bbox for the SMEM
-    activity test.
+    extents_sorted (for _strip_chunk_bounds), agg (NC, 4), order):
+    mat[r, (ch*NPLANES + b)*FACE_CHUNK + l] = affine coefficient r
+    (x, y, const) of plane b (edge0..2, z) of sorted face
+    ch*FACE_CHUNK+l — each chunk owns a contiguous matmul operand;
+    meta carries the bbox sides for the VPU Chebyshev clamp. Validity
+    is folded into the coefficients (see module docstring):
+    invalid/padding faces get d0 = +D_INVALID (constant), zero other
+    edge planes, bbox rows that always lose the max, and
+    z = -D_INVALID, so the kernels never test per-face flags. agg is
+    the per-chunk reach-expanded bbox for the SMEM activity test.
     """
     F = planes.shape[0]
     F_pad = ((F + FACE_CHUNK - 1) // FACE_CHUNK) * FACE_CHUNK
@@ -101,34 +123,63 @@ def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
     key = band * 65536.0 + jnp.clip(
         0.5 * (bbox[:, 0] + bbox[:, 1]), -4096.0, 4096.0)
     order = jnp.argsort(key)
-    planes_s = planes[order]
-    meta = jnp.stack([
-        bbox[:, 0], bbox[:, 1], bbox[:, 2], bbox[:, 3],
-        ok_sil.astype(jnp.float32), ok_depth.astype(jnp.float32),
-        lo_y, hi_y], axis=0)[:, order]
+
+    # ONE fused gather for every per-face column (six separate sorted
+    # gathers measured 2x slower end-to-end — TPU gathers are costly)
+    cols = jnp.concatenate([
+        planes, bbox, jnp.stack(
+            [ok_sil.astype(jnp.float32), ok_depth.astype(jnp.float32),
+             lo_y, hi_y], axis=-1)], axis=-1)      # (F, 20)
+    cols_s = cols[order]
+    planes_s = cols_s[:, :12]
+    bbox_s = cols_s[:, 12:16]
+    oks_s = cols_s[:, 16] > 0.5
+    okd_s = cols_s[:, 17] > 0.5
+    ymin_s = cols_s[:, 18]
+    ymax_s = cols_s[:, 19]
+
+    osil = oks_s[:, None]
+    edge = jnp.where(osil, planes_s[:, :9], 0.0).reshape(F, 3, 3)
+    # invalid faces: d0 becomes the constant +D_INVALID
+    edge = edge.at[:, 0, 2].set(
+        jnp.where(oks_s, edge[:, 0, 2], D_INVALID))
+    zpl = jnp.where(okd_s[:, None], planes_s[:, 9:12],
+                    jnp.asarray([0.0, 0.0, -D_INVALID]))  # (F, 3)
+    blocks = jnp.concatenate([edge, zpl[:, None]], axis=1)
+    # bbox rows for the VPU clamp: invalid faces get a degenerate
+    # box that always loses the max against their d0 = +D_INVALID
+    bbox_k = jnp.where(osil, bbox_s,
+                       jnp.asarray([-BIG, BIG, -BIG, BIG]))
     if F_pad > F:
-        planes_s = jnp.concatenate(
-            [planes_s, jnp.zeros((F_pad - F, 12), jnp.float32)])
-        mpad = jnp.zeros((META_ROWS, F_pad - F), jnp.float32)
-        mpad = mpad.at[ROW_YMIN].set(BIG)
-        mpad = mpad.at[ROW_LOX].set(BIG)
-        meta = jnp.concatenate([meta, mpad], axis=1)
-    # (F_pad, 12) -> [c, l, b, r] -> mat[r, c, b, l]
-    mat = planes_s.reshape(nc, FACE_CHUNK, NPLANES, 3).transpose(
+        pad = jnp.zeros((F_pad - F, NPLANES, 3), jnp.float32)
+        pad = pad.at[:, 0, 2].set(D_INVALID)
+        pad = pad.at[:, 3, 2].set(-D_INVALID)
+        blocks = jnp.concatenate([blocks, pad])
+        fpad = jnp.full((F_pad - F,), BIG, jnp.float32)
+        ymin_s = jnp.concatenate([ymin_s, fpad])
+        ymax_s = jnp.concatenate([ymax_s, -fpad])
+        oks_s = jnp.concatenate([oks_s, jnp.zeros((F_pad - F,), bool)])
+        bbox_s = jnp.concatenate(
+            [bbox_s, jnp.stack([fpad, -fpad, fpad, -fpad], -1)])
+        bbox_k = jnp.concatenate(
+            [bbox_k, jnp.stack([-fpad, fpad, -fpad, fpad], -1)])
+    # (F_pad, NPLANES, 3) -> [c, l, b, r] -> mat[r, c, b, l]
+    mat = blocks.reshape(nc, FACE_CHUNK, NPLANES, 3).transpose(
         3, 0, 2, 1).reshape(3, NPLANES * F_pad)
     mat = jnp.concatenate(
         [mat, jnp.zeros((5, NPLANES * F_pad), jnp.float32)], axis=0)
+    meta = bbox_k.T                                # (META_ROWS, F_pad)
 
-    ok = meta[ROW_OK_SIL].reshape(nc, FACE_CHUNK) > 0.5
-    cm = lambda r, init, red: red(
-        jnp.where(ok, meta[r].reshape(nc, FACE_CHUNK), init), axis=1)
+    okc = oks_s.reshape(nc, FACE_CHUNK)
+    cm = lambda v, init, red: red(
+        jnp.where(okc, v.reshape(nc, FACE_CHUNK), init), axis=1)
     agg = jnp.stack([
-        cm(ROW_LOX, BIG, jnp.min) - reach,
-        cm(ROW_HIX, -BIG, jnp.max) + reach,
-        cm(ROW_YMIN, BIG, jnp.min),          # lo_y already has reach
-        cm(ROW_YMAX, -BIG, jnp.max),
+        cm(bbox_s[:, 0], BIG, jnp.min) - reach,
+        cm(bbox_s[:, 1], -BIG, jnp.max) + reach,
+        cm(ymin_s, BIG, jnp.min),            # lo_y already has reach
+        cm(ymax_s, -BIG, jnp.max),
     ], axis=1)
-    return mat, meta, agg, order
+    return mat, meta, (ymin_s, ymax_s, oks_s), agg, order
 
 
 def _face_band(lo_y):
@@ -139,8 +190,8 @@ def _face_band(lo_y):
     return jnp.clip(jnp.floor(lo_y * (1.0 / STRIP_H)), -64.0, 8192.0)
 
 
-def _strip_chunk_bounds(meta, win: int):
-    """Per-strip [lo, hi) chunk ranges from the band-sorted metadata.
+def _strip_chunk_bounds(extents_sorted, win: int):
+    """Per-strip [lo, hi) chunk ranges from the band-sorted extents.
 
     Faces are sorted primarily by band = floor(ymin / 8); strip s can
     only intersect faces with band <= s and ymin > y0 - max_height — a
@@ -148,9 +199,7 @@ def _strip_chunk_bounds(meta, win: int):
     non-decreasing band sequence.
     """
     n_strips = win // STRIP_H
-    ymin = meta[ROW_YMIN]
-    ymax = meta[ROW_YMAX]
-    ok = meta[ROW_OK_SIL] > 0.5
+    ymin, ymax, ok = extents_sorted
     band = _face_band(ymin)
     h_max = jnp.max(jnp.where(ok, ymax - ymin, 0.0))
     s = jnp.arange(n_strips, dtype=jnp.float32)
@@ -190,7 +239,9 @@ def _cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi):
 
 
 def _chunk_planes(mat_ref, meta_ref, P, base, px, py):
-    """Evaluate one chunk: d (bbox-clamped line distance), zi, flags."""
+    """Evaluate one chunk: edge/z planes in one MXU matmul plus the
+    VPU bbox Chebyshev clamp (validity is pre-folded into the
+    coefficients — no flag tests)."""
     C = mat_ref[:, pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)]
     D = jax.lax.dot_general(P, C, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
@@ -203,9 +254,7 @@ def _chunk_planes(mat_ref, meta_ref, P, base, px, py):
         jnp.maximum(ms(ROW_LOX) - px, px - ms(ROW_HIX)),
         jnp.maximum(ms(ROW_LOY) - py, py - ms(ROW_HIY)))
     d = jnp.maximum(jnp.maximum(d0, jnp.maximum(d1, d2)), bb)
-    oks = ms(ROW_OK_SIL) > 0.5
-    okd = ms(ROW_OK_DEPTH) > 0.5
-    return d0, d1, d2, zi, d, oks, okd
+    return d0, d1, d2, zi, d
 
 
 def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
@@ -226,18 +275,23 @@ def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
 
         def do_chunk(carry):
             zmin_l, gid_l, lk_acc = carry
-            _, _, _, zi, d, oks, okd = _chunk_planes(
-                mat_ref, meta_ref, P, base, px, py)
-            covered = (d <= 0) & okd & (zi > znear)
+            _, _, _, zi, d = _chunk_planes(mat_ref, meta_ref, P, base,
+                                           px, py)
+            # invalid/padding faces have d = +D_INVALID and
+            # z = -D_INVALID folded into their planes: covered is
+            # false and their log_sigmoid is exactly 0 — no flags
+            covered = (d <= 0) & (zi > znear)
             zc = jnp.where(covered, zi, BIG)
             better = zc < zmin_l
             zmin_l = jnp.where(better, zc, zmin_l)
             gid_l = jnp.where(better, base + lane, gid_l)
             # log(1 - sigmoid(-d|d|/blur)) = log_sigmoid(d|d|/blur)
-            ls = jax.nn.log_sigmoid((d * jnp.abs(d)) * inv_blur)
-            lk_acc = lk_acc + jnp.where(oks, ls, 0.0)
+            lk_acc = lk_acc + jax.nn.log_sigmoid(
+                (d * jnp.abs(d)) * inv_blur)
             return zmin_l, gid_l, lk_acc
 
+        if not X_SKIP:
+            return do_chunk(carry)
         return jax.lax.cond(
             _cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi),
             do_chunk, lambda c: c, carry)
@@ -272,15 +326,15 @@ def _window_to_cells(x, win):
         0, 2, 1, 3).reshape(n_strips * _n_xb(win) * STRIP_H * xw, 1)
 
 
-def _run_forward(mat, meta, agg, win: int, inv_blur: float,
-                 znear: float):
+def _run_forward(mat, meta, extents_sorted, agg, win: int,
+                 inv_blur: float, znear: float):
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
     npx = STRIP_H * (win // _n_xb(win))
     kernel = functools.partial(_fwd_kernel, win=win,
                                inv_blur=inv_blur, znear=znear)
-    bounds = _strip_chunk_bounds(meta, win)
+    bounds = _strip_chunk_bounds(extents_sorted, win)
     out_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * _n_xb(win) + xb, 0),
                             memory_space=pltpu.VMEM)
     zzl = pl.pallas_call(
@@ -334,16 +388,17 @@ def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
         base = ch * FACE_CHUNK
 
         def do_chunk(_):
-            d0, d1, d2, _, d, oks, okd = _chunk_planes(
-                mat_ref, meta_ref, P, base, px, py)
+            d0, d1, d2, _, d = _chunk_planes(mat_ref, meta_ref, P,
+                                             base, px, py)
             absd = jnp.abs(d)
 
             # silhouette branch: dls/dd = sigmoid(-d|d|/blur) * 2|d|/blur
+            # (exactly 0 for invalid/padding faces: their folded
+            # d = D_INVALID saturates the sigmoid)
             sig = jax.nn.sigmoid(-(d * absd) * inv_blur)
-            g_d = jnp.where(oks, dlk * (sig * inv_blur) * (2.0 * absd),
-                            0.0)
+            g_d = dlk * (sig * inv_blur) * (2.0 * absd)
             # gradient routes to the max edge (first-match priority);
-            # where the bbox clamp wins, d is data -> no gradient
+            # where a bbox side wins the max, d is data -> no gradient
             use0 = d == d0
             use1 = (~use0) & (d == d1)
             use2 = (~(use0 | use1)) & (d == d2)
@@ -362,6 +417,9 @@ def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
             dmat_ref[:, sl] += dC
             return 0
 
+        if not X_SKIP:
+            do_chunk(0)
+            return 0
         jax.lax.cond(_cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi),
                      do_chunk, lambda _: 0, 0)
         return 0
@@ -370,14 +428,15 @@ def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
                       0)
 
 
-def _run_backward(mat, meta, agg, dz, dlk, amin, win, inv_blur, znear):
+def _run_backward(mat, meta, extents_sorted, agg, dz, dlk, amin, win,
+                  inv_blur, znear):
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
     npx = STRIP_H * (win // _n_xb(win))
     kernel = functools.partial(_bwd_kernel, win=win,
                                inv_blur=inv_blur, znear=znear)
-    bounds = _strip_chunk_bounds(meta, win)
+    bounds = _strip_chunk_bounds(extents_sorted, win)
     col_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * _n_xb(win) + xb, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -427,10 +486,10 @@ def _raster_fwd(planes, extents, win, inv_blur, znear):
 
     bbox, lo_y, hi_y, ok_sil, ok_depth = extents
     reach = 3.0 / np.sqrt(inv_blur) + 1.0
-    mat, meta, agg, order = _pack_face_table(
+    mat, meta, ext_s, agg, order = _pack_face_table(
         planes, bbox, ok_sil, ok_depth, lo_y, hi_y, reach)
-    zmin, logkeep, amin = _run_forward(mat, meta, agg, win, inv_blur,
-                                       znear)
+    zmin, logkeep, amin = _run_forward(mat, meta, ext_s, agg, win,
+                                       inv_blur, znear)
     # Middle remat tier: under jax.checkpoint with the engine's
     # save_only_these_names policy, the backward pass keeps ONLY these
     # four small kernel outputs (~260 KB/body: the custom-VJP
@@ -442,17 +501,17 @@ def _raster_fwd(planes, extents, win, inv_blur, znear):
     zmin = checkpoint_name(zmin, "raster_residuals")
     zbuf = jnp.where(zmin >= BIG, jnp.inf, zmin)
     sil = checkpoint_name(1.0 - jnp.exp(logkeep), "raster_residuals")
-    return (zbuf, sil), (mat, meta, agg, order, logkeep, amin,
+    return (zbuf, sil), (mat, meta, ext_s, agg, order, logkeep, amin,
                          planes.shape[0])
 
 
 def _raster_bwd(win, inv_blur, znear, res, cot):
-    mat, meta, agg, order, logkeep, amin, F = res
+    mat, meta, ext_s, agg, order, logkeep, amin, F = res
     d_zbuf, d_sil = cot
     d_z = jnp.where(jnp.isfinite(d_zbuf) & (amin >= 0), d_zbuf, 0.0)
     # sil = 1 - exp(logkeep) => d_logkeep = -exp(logkeep) * d_sil
     d_lk = -jnp.exp(logkeep) * d_sil
-    dmat = _run_backward(mat, meta, agg, d_z, d_lk, amin, win,
+    dmat = _run_backward(mat, meta, ext_s, agg, d_z, d_lk, amin, win,
                          inv_blur, znear)
     # invert the matmul layout: dmat[r, c, b, l] -> (F_pad, 12), then
     # unsort (sorted row r held face order[r])

@@ -1,0 +1,188 @@
+"""Microbenchmark the Pallas rasterizer kernel variants on the TPU.
+
+Times forward and forward+backward for a batch of full-size SMPL
+bodies at the bench.py working shape (win=128), across kernel
+parameter variants (FACE_CHUNK, ...), by monkeypatching the module
+constants before tracing. Each variant is a fresh compile — expect
+minutes per variant on the remote TPU the first time.
+
+Usage: python script/bench_kernel.py [--bodies 48] [--win 128]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def make_bodies(n_bodies, win):
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    from mhmocap_tpu.models.smpl import smpl_forward
+    from mhmocap_tpu.ops.cameras import intrinsics_from_fov
+    from mhmocap_tpu.ops.rasterizer import RasterSettings
+
+    side = 256
+    model = make_synthetic_smpl()
+    K = intrinsics_from_fov((side, side), 60.0)
+    rng = np.random.RandomState(0)
+    poses = 0.1 * rng.randn(n_bodies, 72).astype(np.float32)
+    betas = np.zeros((n_bodies, 10), np.float32)
+    out = smpl_forward(model, jnp.asarray(betas), jnp.asarray(poses))
+    verts = np.array(out["verts"])
+    verts[..., 2] += np.linspace(3.0, 5.0, n_bodies)[:, None]
+    verts[..., 0] += np.tile(np.linspace(-0.8, 0.8, 4),
+                             n_bodies // 4 + 1)[:n_bodies, None]
+    rs = RasterSettings(image_size=(side, side), window=win,
+                        face_chunk=128, znear=1.0, zfar=100.0)
+    return jnp.asarray(verts), model.faces, jnp.asarray(K), rs
+
+
+def bench_variant(name, verts, faces, K, rs, n=10):
+    from mhmocap_tpu.ops.raster_pallas import rasterize_body_pallas
+
+    fwd = jax.jit(lambda v: jax.vmap(
+        lambda vv: rasterize_body_pallas(vv, faces, K, rs))(v))
+
+    def loss(v):
+        o = jax.vmap(lambda vv: rasterize_body_pallas(vv, faces, K,
+                                                      rs))(v)
+        zb = jnp.where(jnp.isfinite(o["zbuf"]), o["zbuf"], 0.0)
+        return jnp.sum(zb) + jnp.sum(o["sil"])
+
+    bwd = jax.jit(jax.grad(loss))
+
+    t0 = time.time()
+    out = fwd(verts)
+    jax.block_until_ready(out)
+    c_fwd = time.time() - t0
+    t0 = time.time()
+    for _ in range(n):
+        out = fwd(verts)
+    jax.block_until_ready(out)
+    t_fwd = (time.time() - t0) / n
+
+    t0 = time.time()
+    g = bwd(verts)
+    jax.block_until_ready(g)
+    c_bwd = time.time() - t0
+    t0 = time.time()
+    for _ in range(n):
+        g = bwd(verts)
+    jax.block_until_ready(g)
+    t_bwd = (time.time() - t0) / n
+
+    sil_sum = float(jnp.sum(out["sil"]))
+    g_norm = float(jnp.linalg.norm(g))
+    print(f"{name:34s} fwd {t_fwd * 1e3:8.2f} ms   fwd+bwd "
+          f"{t_bwd * 1e3:8.2f} ms   (compiles {c_fwd:.0f}/{c_bwd:.0f}s"
+          f", sil={sil_sum:.1f}, |g|={g_norm:.3f})", flush=True)
+    return t_fwd, t_bwd
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bodies", type=int, default=48)
+    ap.add_argument("--win", type=int, default=128)
+    ap.add_argument("--variants", default="fc128,fc256")
+    args = ap.parse_args()
+
+    from mhmocap_tpu.ops import raster_pallas as RP
+
+    verts, faces, K, rs = make_bodies(args.bodies, args.win)
+    print(f"bodies={args.bodies} win={args.win} "
+          f"faces={faces.shape[0]}", flush=True)
+
+    if "packparts" in args.variants:
+        from mhmocap_tpu.ops.rasterizer import face_planes, \
+            window_origin
+        from mhmocap_tpu.ops.cameras import project_points
+
+        def prep(v):
+            uvz = project_points(v, K, return_depth=True)
+            uv, z = uvz[..., :2], uvz[..., 2]
+            origin = window_origin(uv, z, rs)
+            fuv = uv[faces] - origin.astype(uv.dtype)
+            return face_planes(fuv, z[faces], rs.znear)
+
+        def tm(fn, *a, name=""):
+            f = jax.jit(fn)
+            out = f(*a)
+            jax.block_until_ready(out)
+            t0 = time.time()
+            for _ in range(10):
+                out = f(*a)
+            jax.block_until_ready(out)
+            print(f"{name:34s} fwd {(time.time() - t0) / 10 * 1e3:8.2f}"
+                  f" ms", flush=True)
+            return out
+
+        tm(lambda v: jax.vmap(lambda vv: vv[faces])(v), verts,
+           name="verts[faces] gather only")
+        planes, bbox, oks, okd = tm(
+            lambda v: jax.vmap(prep)(v), verts,
+            name="prep (proj+gather+face_planes)")
+        key = bbox[..., 0] + bbox[..., 1]
+        order = tm(lambda k: jnp.argsort(k, axis=-1), key,
+                   name="argsort only")
+        tm(lambda p, o: jnp.take_along_axis(
+            p, o[..., None], axis=1), planes, order,
+           name="sorted gather (F,12) only")
+
+    if "pack" in args.variants:
+        from mhmocap_tpu.ops.rasterizer import face_planes, \
+            window_origin
+        from mhmocap_tpu.ops.cameras import project_points
+
+        def pack_only(v):
+            uvz = project_points(v, K, return_depth=True)
+            uv, z = uvz[..., :2], uvz[..., 2]
+            origin = window_origin(uv, z, rs)
+            fuv = uv[faces] - origin.astype(uv.dtype)
+            planes, bbox, oks, okd = face_planes(fuv, z[faces],
+                                                 rs.znear)
+            import numpy as _np
+            reach = 3.0 * float(_np.sqrt(rs.sil_blur_px2)) + 1.0
+            return RP._pack_face_table(planes, bbox, oks, okd,
+                                       bbox[:, 2] - reach,
+                                       bbox[:, 3] + reach, reach)[:2]
+
+        fn = jax.jit(lambda v: jax.vmap(pack_only)(v))
+        out = fn(verts)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(10):
+            out = fn(verts)
+        jax.block_until_ready(out)
+        print(f"{'pack (proj+planes+sort+tables)':34s} fwd "
+              f"{(time.time() - t0) / 10 * 1e3:8.2f} ms", flush=True)
+
+    for variant in args.variants.split(","):
+        if variant in ("pack", "packparts"):
+            continue
+        if variant.startswith("fc"):
+            RP.FACE_CHUNK = int(variant[2:])
+        if variant == "nocond":
+            RP.X_SKIP = False
+        bench_variant(variant, verts, faces, K, rs)
+        RP.X_SKIP = True
+
+
+if __name__ == "__main__":
+    main()

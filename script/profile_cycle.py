@@ -1,0 +1,203 @@
+"""Decompose one stage-1 cycle's TPU time into its pieces.
+
+Runs the bench.py workload (T=64, N=3, 256x256, full-size body) and
+times, with block_until_ready, each constituent: SMPL forward, face
+plane prep, Pallas raster forward, raster forward+backward, the full
+chunk loss, and the full cycle (value_and_grad + RMSprop update).
+Prints one line per piece. Optionally writes a jax.profiler trace with
+--trace <dir>.
+
+Usage:  python script/profile_cycle.py [--trace /tmp/trace]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+import jax.numpy as jnp  # noqa: E402
+
+
+def timeit(fn, *args, n=5, name=""):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.time()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.time() - t0) / n
+    print(f"{name:42s} {dt * 1e3:9.2f} ms")
+    return dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", default=None)
+    ap.add_argument("--T", type=int, default=64)
+    args = ap.parse_args()
+
+    from mhmocap_tpu.engine import optimizer as E
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    from mhmocap_tpu.models.smpl import smpl_forward
+    from mhmocap_tpu.ops.cameras import project_points, \
+        intrinsics_from_fov
+    from mhmocap_tpu.ops import rasterizer as R
+    from mhmocap_tpu.ops.raster_pallas import rasterize_body_pallas
+    from mhmocap_tpu.data.ingestion import SequenceArrays
+
+    T, N, side = args.T, 3, 256
+    model = make_synthetic_smpl()
+    K = intrinsics_from_fov((side, side), 60.0)
+    rng = np.random.RandomState(0)
+
+    poses_smpl = 0.1 * rng.randn(T, N, 72).astype(np.float32)
+    betas = np.zeros((T, N, 10), np.float32)
+    poses_T = np.zeros((T, N, 1, 3), np.float32)
+    poses_T[:, :, 0, 2] = np.linspace(3.0, 5.0, N)[None]
+    poses_T[:, :, 0, 0] = np.linspace(-0.8, 0.8, N)[None]
+    out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
+                       jnp.asarray(poses_smpl.reshape(-1, 72)))
+    j3d = np.asarray(out["joints_alphapose"]).reshape(T, N, 17, 3) \
+        + poses_T
+    uv = np.asarray(project_points(jnp.asarray(j3d), jnp.asarray(K)))
+    pose2d = np.concatenate(
+        [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
+
+    cfg = E.EngineConfig(image_size=(side, side), num_people=N,
+                         num_frames=T, chunk=16, window=128,
+                         face_chunk=128)
+    params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
+                                 cfg, num_iter=5)
+    seg = np.zeros((T, N, side, side), np.float32)
+    for n in range(N):
+        x0 = 40 + 60 * n
+        seg[:, n, 60:200, x0:x0 + 50] = 1
+    seq = SequenceArrays(
+        images=np.zeros((T, side, side, 3), np.uint8),
+        depths=np.clip(0.5 + 0.1 * rng.randn(T, side, side), 0,
+                       1).astype(np.float32),
+        instances=np.zeros((T, side, side), np.uint8),
+        seg_mask=seg,
+        backmasks=1.0 - seg.max(axis=1),
+        pose2d=pose2d,
+        cam_smpl=np.zeros((T, N, 3), np.float32),
+        poses_smpl=poses_smpl,
+        betas_smpl=betas,
+        valid_smpl=np.ones((T, N, 1), np.float32),
+        frame_ids=np.arange(T),
+        cam={"K": K, "fov": 60.0, "Kd": None,
+             "image_size": (side, side)},
+    )
+    data = E.prepare_seq_data(seq, cfg)
+    aux = E.init_aux(cfg, model.num_vertices,
+                     jnp.asarray(betas[:1].mean(0, keepdims=True)))
+    coefs = E.default_coefs()
+    opt = E.make_stage1_optimizer()
+    opt_state = opt.init(params)
+
+    C = cfg.chunk
+    bodies = C * N
+    pc = jnp.asarray(poses_smpl[:C].reshape(bodies, 72))
+    bc = jnp.asarray(betas[:C].reshape(bodies, 10))
+
+    # --- pieces -----------------------------------------------------
+    smpl_fwd = jax.jit(lambda b, p: smpl_forward(model, b, p)["verts"])
+    timeit(smpl_fwd, bc, pc, name=f"SMPL fwd ({bodies} bodies)")
+
+    smpl_grad = jax.jit(jax.grad(
+        lambda b, p: jnp.sum(smpl_forward(model, b, p)["verts"]),
+        argnums=(0, 1)))
+    timeit(smpl_grad, bc, pc, name="SMPL fwd+bwd")
+
+    verts_abs = np.asarray(
+        smpl_forward(model, bc, pc)["verts"]).reshape(C, N, -1, 3) \
+        + poses_T[:C]
+    verts_abs = jnp.asarray(verts_abs.reshape(bodies, -1, 3))
+    rs = cfg.raster_settings
+
+    one_raster = jax.jit(lambda v: jax.vmap(
+        lambda vv: rasterize_body_pallas(vv, model.faces, jnp.asarray(K),
+                                         rs))(v))
+    timeit(one_raster, verts_abs, name=f"raster fwd ({bodies} bodies)")
+
+    def raster_loss(v):
+        o = jax.vmap(lambda vv: rasterize_body_pallas(
+            vv, model.faces, jnp.asarray(K), rs))(v)
+        zb = jnp.where(jnp.isfinite(o["zbuf"]), o["zbuf"], 0.0)
+        return jnp.sum(zb) + jnp.sum(o["sil"])
+
+    raster_g = jax.jit(jax.grad(raster_loss))
+    timeit(raster_g, verts_abs, name="raster fwd+bwd")
+
+    # prep only (face planes; no kernel)
+    def prep_only(v):
+        uvz = project_points(v, jnp.asarray(K), return_depth=True)
+        uv2, z = uvz[..., :2], uvz[..., 2]
+        origin = R.window_origin(uv2, z, rs)
+        fuv = uv2[model.faces] - origin.astype(uv2.dtype)
+        planes, bbox, oks, okd = R.face_planes(fuv, z[model.faces],
+                                               rs.znear)
+        return planes, bbox
+
+    prep_j = jax.jit(lambda v: jax.vmap(prep_only)(v))
+    timeit(prep_j, verts_abs, name="face-plane prep only")
+
+    # full chunk loss fwd / fwd+bwd
+    chunk = E._slice_chunk(params, data, aux, cfg, 0)
+    scale = E.scale_factor_of(params)
+
+    def chunk_loss(p):
+        ch = E._slice_chunk(p, data, aux, cfg, 0)
+        l, _ = E._chunk_loss_core(ch, model, p.betas, scale,
+                                  data.cam_K, aux, coefs, cfg)
+        return l
+
+    timeit(jax.jit(chunk_loss), params, name="chunk loss fwd")
+    timeit(jax.jit(jax.grad(chunk_loss)), params,
+           name="chunk loss fwd+bwd")
+
+    # full cycle
+    def cycle(p, s):
+        return E.stage1_cycle(p, s, model, data, aux, coefs, cfg)
+
+    def run_cycle(p, s):
+        p2, s2, loss, parts = cycle(p, s)
+        return loss
+
+    # stage1_cycle donates its params/opt_state args — thread the
+    # returned buffers, never reuse the originals
+    p, s, loss, parts = cycle(params, opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        p, s, loss, parts = cycle(p, s)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / n
+    print(f"{'FULL cycle (T=%d)' % T:42s} {dt * 1e3:9.2f} ms   "
+          f"({T / dt:.0f} f-c/s)")
+
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            p, s, loss, parts = cycle(p, s)
+            jax.block_until_ready(loss)
+        print("trace written to", args.trace)
+
+
+if __name__ == "__main__":
+    main()
