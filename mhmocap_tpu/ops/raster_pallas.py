@@ -79,7 +79,28 @@ D_INVALID = 1.0e9
 # practical blur (d^2/blur saturates log_sigmoid past ~6 px at the
 # default 0.33 px^2 blur), so both settings produce identical outputs;
 # this is a microbenchmark knob for the branch-vs-pipelining tradeoff.
+# Measured (48 bodies, win 128): cond 28.3/49.4 ms fwd/fwd+bwd,
+# unconditional 43.7/98.5 ms — the 4-scalar SMEM test stays.
 X_SKIP = True
+
+# MXU precision for the plane-evaluation matmul. The backend default
+# (None) runs single-pass bf16 on TPU, which quantizes plane
+# coefficients to 8 mantissa bits: measured vs the exact-f32 brute
+# backend on a real body, that flips z-buffer winners on ~0.3% of
+# covered pixels (near-degenerate slivers whose huge z-plane
+# coefficients then leak metre-level depth noise and ~30x-inflated
+# vertex gradients). HIGHEST (multi-pass exact f32) costs ~29% more
+# kernel time and restores brute-backend parity.
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+# Plane evaluation path: "mxu" (one K=8 matmul at MATMUL_PRECISION)
+# or "vpu" (broadcast affine evaluation, 4 ops/plane, exact f32 with
+# no multi-pass cost). Measured fwd/fwd+bwd for 48 bodies at win=128:
+# vpu 26.5/46.3 ms, mxu HIGHEST 36.9/63.2 ms, mxu bf16 28.3/49.4 ms
+# (and wrong, see MATMUL_PRECISION) — at K=8 the MXU multi-pass f32
+# path loses to 12 plain VPU ops, so vpu is the default. The backward
+# keeps its MXU matmul (PT @ G is K=128, where the MXU wins).
+EVAL_MODE = "vpu"
 
 
 def _interpret() -> bool:
@@ -239,16 +260,25 @@ def _cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi):
 
 
 def _chunk_planes(mat_ref, meta_ref, P, base, px, py):
-    """Evaluate one chunk: edge/z planes in one MXU matmul plus the
-    VPU bbox Chebyshev clamp (validity is pre-folded into the
+    """Evaluate one chunk: edge/z planes on the MXU or the VPU plus
+    the VPU bbox Chebyshev clamp (validity is pre-folded into the
     coefficients — no flag tests)."""
-    C = mat_ref[:, pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)]
-    D = jax.lax.dot_general(P, C, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    d0 = D[:, 0 * FACE_CHUNK:1 * FACE_CHUNK]
-    d1 = D[:, 1 * FACE_CHUNK:2 * FACE_CHUNK]
-    d2 = D[:, 2 * FACE_CHUNK:3 * FACE_CHUNK]
-    zi = D[:, 3 * FACE_CHUNK:4 * FACE_CHUNK]
+    if EVAL_MODE == "vpu":
+        def plane(b):
+            sl = pl.ds(NPLANES * base + b * FACE_CHUNK, FACE_CHUNK)
+            return (px * mat_ref[0, sl][None, :]
+                    + py * mat_ref[1, sl][None, :]
+                    + mat_ref[2, sl][None, :])
+        d0, d1, d2, zi = plane(0), plane(1), plane(2), plane(3)
+    else:
+        C = mat_ref[:, pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)]
+        D = jax.lax.dot_general(P, C, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=MATMUL_PRECISION)
+        d0 = D[:, 0 * FACE_CHUNK:1 * FACE_CHUNK]
+        d1 = D[:, 1 * FACE_CHUNK:2 * FACE_CHUNK]
+        d2 = D[:, 2 * FACE_CHUNK:3 * FACE_CHUNK]
+        zi = D[:, 3 * FACE_CHUNK:4 * FACE_CHUNK]
     ms = lambda r: meta_ref[r, pl.ds(base, FACE_CHUNK)][None, :]
     bb = jnp.maximum(
         jnp.maximum(ms(ROW_LOX) - px, px - ms(ROW_HIX)),

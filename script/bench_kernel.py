@@ -173,15 +173,57 @@ def main():
         print(f"{'pack (proj+planes+sort+tables)':34s} fwd "
               f"{(time.time() - t0) / 10 * 1e3:8.2f} ms", flush=True)
 
+    if "check" in args.variants:
+        # pallas (TPU MXU) vs brute backend (pure VPU f32) on one body
+        from mhmocap_tpu.ops.rasterizer import rasterize_body
+        from mhmocap_tpu.ops.raster_pallas import rasterize_body_pallas
+
+        v1 = verts[0]
+        a = jax.jit(lambda v: rasterize_body_pallas(v, faces, K, rs))(v1)
+        b = jax.jit(lambda v: rasterize_body(
+            v, faces, K, rs._replace(backend="brute")))(v1)
+        za, zb_ = np.asarray(a["zbuf"]), np.asarray(b["zbuf"])
+        cov_a, cov_b = np.isfinite(za), np.isfinite(zb_)
+        both = cov_a & cov_b
+        print(f"check: coverage mismatch px = {(cov_a != cov_b).sum()}"
+              f" / {cov_a.size}; max|dz| on covered = "
+              f"{np.abs(za[both] - zb_[both]).max():.3e}; "
+              f"max|dsil| = "
+              f"{np.abs(np.asarray(a['sil']) - np.asarray(b['sil'])).max():.3e}",
+              flush=True)
+
+        def loss_p(v):
+            o = rasterize_body_pallas(v, faces, K, rs)
+            zb = jnp.where(jnp.isfinite(o["zbuf"]), o["zbuf"], 0.0)
+            return jnp.sum(zb) + jnp.sum(o["sil"])
+
+        def loss_b(v):
+            o = rasterize_body(v, faces, K,
+                               rs._replace(backend="brute"))
+            zb = jnp.where(jnp.isfinite(o["zbuf"]), o["zbuf"], 0.0)
+            return jnp.sum(zb) + jnp.sum(o["sil"])
+
+        gp = np.asarray(jax.jit(jax.grad(loss_p))(v1))
+        gb = np.asarray(jax.jit(jax.grad(loss_b))(v1))
+        print(f"check: |g_pallas|={np.linalg.norm(gp):.2f} "
+              f"|g_brute|={np.linalg.norm(gb):.2f} "
+              f"max|dg|={np.abs(gp - gb).max():.3e}", flush=True)
+
     for variant in args.variants.split(","):
-        if variant in ("pack", "packparts"):
+        if variant in ("pack", "packparts", "check"):
             continue
         if variant.startswith("fc"):
             RP.FACE_CHUNK = int(variant[2:])
         if variant == "nocond":
             RP.X_SKIP = False
+        if variant == "lowprec":
+            RP.MATMUL_PRECISION = None
+        if variant == "vpu":
+            RP.EVAL_MODE = "vpu"
         bench_variant(variant, verts, faces, K, rs)
         RP.X_SKIP = True
+        RP.EVAL_MODE = "mxu"
+        RP.MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 
 
 if __name__ == "__main__":

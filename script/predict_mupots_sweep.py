@@ -1,0 +1,146 @@
+"""Parallel MuPoTs TS1..TS20 sweep: one process per sequence, pinned
+round-robin to TPU chips.
+
+The per-sequence optimizations are independent (reference runs them as
+a sequential shell loop, script/predict_mupots_full.sh); on a v5e-8
+host the sweep is embarrassingly parallel across chips — this is the
+DCN-level parallelism tier of the scaling story (SURVEY §2.3
+"multi-process orchestration"), complementing the frame-axis SPMD
+inside each sequence (parallel/spmd.py) which is the right tool when
+ONE long sequence must finish fast.
+
+Each worker process gets `TPU_VISIBLE_DEVICES=<chip>` so JAX in that
+process sees exactly one chip (the standard single-host pinning
+convention); with `--platform cpu` the sweep runs CPU workers instead
+(used by the tests and useful for smoke runs).
+
+Usage:
+    python script/predict_mupots_sweep.py \
+        --configs_yml configs/predict_mupots.yml \
+        --output_path ./output/mupots \
+        --workers 8 [--ts 1,2,5] [--retries 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_commands(ts_ids, configs_yml, output_path, extra_args=()):
+    """One predict_mupots invocation per TS id."""
+    return [
+        [sys.executable, "-m", "mhmocap_tpu.predict_mupots",
+         "--configs_yml", configs_yml, "--ts_id", str(ts),
+         "--output_path", output_path, *extra_args]
+        for ts in ts_ids
+    ]
+
+
+def worker_env(slot: int, platform: str = "tpu") -> dict:
+    """Environment for a worker pinned to device `slot`."""
+    env = dict(os.environ)
+    if platform == "cpu":
+        env["JAX_PLATFORMS"] = "cpu"
+    else:
+        # single-host chip pinning: the process sees one chip only
+        env["TPU_VISIBLE_DEVICES"] = str(slot)
+        env.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+        env.setdefault("TPU_CHIPS_PER_PROCESS_BOUNDS", "1,1,1")
+    # all workers share one compilation cache: TS sequences bucket to
+    # the same padded shapes, so later workers hit the earlier
+    # workers' compiles
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, ".jax_cache"))
+    return env
+
+
+def run_sweep(cmds, workers: int, platform: str = "tpu",
+              log_dir: str | None = None, retries: int = 0,
+              labels=None):
+    """Run `cmds` over `workers` pinned slots; returns
+    {label: returncode}. A failed command is retried up to `retries`
+    times on the same slot before being recorded as failed."""
+    labels = labels or [f"job{i}" for i in range(len(cmds))]
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+    queue = list(zip(labels, cmds))
+    results = {}
+    lock = threading.Lock()
+
+    def pump(slot):
+        while True:
+            with lock:
+                if not queue:
+                    return
+                label, cmd = queue.pop(0)
+            env = worker_env(slot, platform)
+            for attempt in range(retries + 1):
+                t0 = time.time()
+                log_f = None
+                if log_dir:
+                    log_f = open(os.path.join(log_dir, f"{label}.log"),
+                                 "ab")
+                try:
+                    rc = subprocess.run(
+                        cmd, cwd=REPO, env=env, stdout=log_f,
+                        stderr=subprocess.STDOUT if log_f else None,
+                    ).returncode
+                finally:
+                    if log_f:
+                        log_f.close()
+                dt = time.time() - t0
+                print(f"[slot {slot}] {label}: rc={rc} ({dt:.0f}s, "
+                      f"attempt {attempt + 1})", flush=True)
+                if rc == 0:
+                    break
+            with lock:
+                results[label] = rc
+
+    threads = [threading.Thread(target=pump, args=(s,))
+               for s in range(workers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs_yml",
+                    default="configs/predict_mupots.yml")
+    ap.add_argument("--output_path", default="./output/mupots")
+    ap.add_argument("--workers", type=int, default=8)
+    ap.add_argument("--ts", default=",".join(str(i)
+                                             for i in range(1, 21)))
+    ap.add_argument("--platform", default="tpu",
+                    choices=["tpu", "cpu"])
+    ap.add_argument("--retries", type=int, default=1)
+    ap.add_argument("--log_dir", default=None,
+                    help="per-TS log files (default: stream to stdout)")
+    args, extra = ap.parse_known_args()
+
+    ts_ids = [int(t) for t in args.ts.split(",") if t]
+    cmds = build_commands(ts_ids, args.configs_yml, args.output_path,
+                          extra)
+    labels = [f"TS{t}" for t in ts_ids]
+    t0 = time.time()
+    results = run_sweep(cmds, min(args.workers, len(cmds)),
+                        platform=args.platform, log_dir=args.log_dir,
+                        retries=args.retries, labels=labels)
+    failed = {k: v for k, v in results.items() if v != 0}
+    print(f"sweep: {len(results) - len(failed)}/{len(results)} ok in "
+          f"{time.time() - t0:.0f}s"
+          + (f"; FAILED: {sorted(failed)}" if failed else ""))
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
