@@ -549,6 +549,8 @@ def _raster_bwd(win, inv_blur, znear, res, cot):
     nc = F_pad // FACE_CHUNK
     d_sorted = dmat[:3].reshape(3, nc, NPLANES, FACE_CHUNK).transpose(
         1, 3, 2, 0).reshape(F_pad, 12)
+    # invert the permutation with an int32 scatter + row gather (a
+    # direct (F, 12) row scatter was measured 1.5x slower end-to-end)
     inv = jnp.zeros((F,), jnp.int32).at[order].set(
         jnp.arange(F, dtype=jnp.int32))
     d_planes = jnp.take(d_sorted, inv, axis=0)         # (F, 12)
