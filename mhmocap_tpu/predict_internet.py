@@ -15,6 +15,7 @@ from __future__ import annotations
 import sys
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .config import ConfigContext, parse_args
@@ -44,10 +45,14 @@ def build_internet_sequence(
                  if end_frame > -1 else None)
     model = resolve_smpl_model(smpl_model_parameters_path)
 
+    # jitted, model as traced arg; one bucketed call per sequence
+    # (see predict_mupots.joints_fn)
+    jfn = jax.jit(lambda m, b, p: smpl_forward(m, b, p)[
+        "joints_alphapose"])
+
     def joints_fn(betas, poses):
-        out = smpl_forward(model, jnp.asarray(betas),
-                           jnp.asarray(poses))
-        return np.asarray(out["joints_alphapose"])
+        return np.asarray(jfn(model, jnp.asarray(betas),
+                              jnp.asarray(poses)))
 
     seq = load_sequence(
         data_path, joints_fn,

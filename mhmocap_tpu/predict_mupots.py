@@ -18,6 +18,7 @@ import pickle
 import sys
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .config import ConfigContext, parse_args
@@ -58,10 +59,16 @@ def build_mupots_sequence(
 
     model = resolve_smpl_model(smpl_model_parameters_path)
 
+    # jitted with the model as a traced argument (closure constants
+    # would ship the 25 MB of weights inside the HLO); ingestion calls
+    # this ONCE with all T*N bodies bucketed to a multiple of 512, so
+    # the compile is shared across sequences via the persistent cache
+    jfn = jax.jit(lambda m, b, p: smpl_forward(m, b, p)[
+        "joints_alphapose"])
+
     def joints_fn(betas, poses):
-        out = smpl_forward(model, jnp.asarray(betas),
-                           jnp.asarray(poses))
-        return np.asarray(out["joints_alphapose"])
+        return np.asarray(jfn(model, jnp.asarray(betas),
+                              jnp.asarray(poses)))
 
     seq = load_sequence(
         data_root, joints_fn,
