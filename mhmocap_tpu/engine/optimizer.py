@@ -89,6 +89,10 @@ class EngineConfig:
     warmup_cycles: int = 30              # scene/filters start cycle
     scene_update_every: int = 1
     cam_dist_coef: Optional[Tuple[float, ...]] = None
+    # The caller has permuted model.faces with
+    # rasterizer.spatial_face_order (Predictor does); the Pallas
+    # kernel then skips its per-call face argsort+gather.
+    preordered_faces: bool = False
     # Rematerialize chunk forwards in the backward pass. None = auto:
     # only when the sequence is long enough that storing per-body
     # residuals (face tables ~1.7 MB + window buffers) would blow HBM.
@@ -127,7 +131,8 @@ class EngineConfig:
     def raster_settings(self) -> RasterSettings:
         return RasterSettings(
             image_size=self.image_size, window=self.window,
-            face_chunk=self.face_chunk, znear=self.znear, zfar=self.zfar)
+            face_chunk=self.face_chunk, znear=self.znear,
+            zfar=self.zfar, preordered=self.preordered_faces)
 
 
 class StageParams(NamedTuple):

@@ -70,7 +70,15 @@ class Predictor:
                  output_path: str, parsed_args, **_):
         io_mkdir(output_path)
         self.seq = seq
-        self.model = model
+        # Static spatially coherent face order (Morton over the
+        # template): lets the Pallas rasterizer skip its per-call face
+        # argsort+gather (cfg.preordered_faces below). Face order is
+        # semantically irrelevant to every consumer (LBS, losses, mesh
+        # export), so the permuted model is used throughout.
+        from ..ops.rasterizer import spatial_face_order
+        order = spatial_face_order(model.v_template, model.faces)
+        self.model = model.replace(
+            faces=jnp.asarray(np.asarray(model.faces)[order]))
         self.output_path = output_path
         self.args = parsed_args
         self.num_iter = parsed_args.num_iter
@@ -106,6 +114,7 @@ class Predictor:
                 parsed_args, "joint_confidence_thr", 0.5),
             cam_dist_coef=(tuple(seq.cam["Kd"])
                            if seq.cam.get("Kd") is not None else None),
+            preordered_faces=True,
         )
         self.coefs = {
             "proj2d": parsed_args.proj2d_loss_coef,

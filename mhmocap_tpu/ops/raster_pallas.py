@@ -134,10 +134,6 @@ def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
     z = -D_INVALID, so the kernels never test per-face flags. agg is
     the per-chunk reach-expanded bbox for the SMEM activity test.
     """
-    F = planes.shape[0]
-    F_pad = ((F + FACE_CHUNK - 1) // FACE_CHUNK) * FACE_CHUNK
-    nc = F_pad // FACE_CHUNK
-
     band = _face_band(lo_y)
     # lexicographic (band, x-center); keys are small integers/pixels so
     # the f32 composite is exact
@@ -152,12 +148,32 @@ def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
             [ok_sil.astype(jnp.float32), ok_depth.astype(jnp.float32),
              lo_y, hi_y], axis=-1)], axis=-1)      # (F, 20)
     cols_s = cols[order]
-    planes_s = cols_s[:, :12]
-    bbox_s = cols_s[:, 12:16]
-    oks_s = cols_s[:, 16] > 0.5
-    okd_s = cols_s[:, 17] > 0.5
-    ymin_s = cols_s[:, 18]
-    ymax_s = cols_s[:, 19]
+    mat, meta, agg, ext = _fold_pack(
+        cols_s[:, :12], cols_s[:, 12:16], cols_s[:, 16] > 0.5,
+        cols_s[:, 17] > 0.5, cols_s[:, 18], cols_s[:, 19], reach)
+    return mat, meta, ext, agg, order
+
+
+def _pack_face_table_static(planes, bbox, ok_sil, ok_depth, lo_y,
+                            hi_y, reach):
+    """Pack without sorting: the caller's faces are already in a
+    static spatially coherent order (rasterizer.spatial_face_order),
+    so each FACE_CHUNK run is a compact surface patch and the argsort
+    + fused gather of `_pack_face_table` are skipped entirely. Chunk
+    scheduling comes from `_strip_chunk_lists(agg)` instead of
+    band-monotonicity."""
+    mat, meta, agg, _ = _fold_pack(planes, bbox, ok_sil, ok_depth,
+                                   lo_y, hi_y, reach)
+    return mat, meta, agg
+
+
+def _fold_pack(planes_s, bbox_s, oks_s, okd_s, ymin_s, ymax_s, reach):
+    """Shared tail of the pack: fold validity into coefficients, pad
+    to a FACE_CHUNK multiple, lay out the matmul table, and build the
+    per-chunk reach-expanded bbox aggregates."""
+    F = planes_s.shape[0]
+    F_pad = ((F + FACE_CHUNK - 1) // FACE_CHUNK) * FACE_CHUNK
+    nc = F_pad // FACE_CHUNK
 
     osil = oks_s[:, None]
     edge = jnp.where(osil, planes_s[:, :9], 0.0).reshape(F, 3, 3)
@@ -200,7 +216,7 @@ def _pack_face_table(planes, bbox, ok_sil, ok_depth, lo_y, hi_y,
         cm(ymin_s, BIG, jnp.min),            # lo_y already has reach
         cm(ymax_s, -BIG, jnp.max),
     ], axis=1)
-    return mat, meta, (ymin_s, ymax_s, oks_s), agg, order
+    return mat, meta, agg, (ymin_s, ymax_s, oks_s)
 
 
 def _face_band(lo_y):
@@ -231,6 +247,25 @@ def _strip_chunk_bounds(extents_sorted, win: int):
     lo_chunk = (lo_face // FACE_CHUNK).astype(jnp.int32)
     hi_chunk = (-(-hi_face // FACE_CHUNK)).astype(jnp.int32)
     return jnp.stack([lo_chunk, hi_chunk], axis=1)  # (n_strips, 2)
+
+
+def _strip_chunk_lists(agg, win: int):
+    """Per-strip ACTIVE-chunk index lists from the chunk aggregates
+    (static-order mode, where chunk ids touching a strip are not
+    contiguous). A (n_strips, nc) y-overlap test and one tiny sort
+    pack the active ids to the front; the kernel loops j < counts[s]
+    and never reads the padding entries.
+    """
+    n_strips = win // STRIP_H
+    nc = agg.shape[0]
+    s = jnp.arange(n_strips, dtype=jnp.float32)[:, None]
+    active = ((agg[None, :, AGG_YLO] < (s + 1.0) * STRIP_H)
+              & (agg[None, :, AGG_YHI] >= s * STRIP_H))
+    iota = jnp.arange(nc, dtype=jnp.int32)[None, :]
+    lists = jnp.sort(jnp.where(active, iota, nc + iota), axis=1)
+    counts = jnp.sum(active.astype(jnp.int32), axis=1)[:, None]
+    # clamp padding entries into range (never read: j < counts[s])
+    return jnp.minimum(lists, nc - 1).astype(jnp.int32), counts
 
 
 def _cell_pixels(s, xb, win):
@@ -287,8 +322,13 @@ def _chunk_planes(mat_ref, meta_ref, P, base, px, py):
     return d0, d1, d2, zi, d
 
 
-def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
-                logkeep_ref, amin_ref, *, win, inv_blur, znear):
+def _fwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
+                zbuf_ref, logkeep_ref, amin_ref, *, win, inv_blur,
+                znear, static_sched):
+    """sched_ref is (n_strips, 2) [lo, hi) chunk bounds when
+    static_sched=False (band-sorted mode) or a (n_strips, nc)
+    active-chunk index list with counts_ref (n_strips, 1) when True
+    (pre-ordered mode)."""
     s = pl.program_id(0)
     xb = pl.program_id(1)
     px, py, npx = _cell_pixels(s, xb, win)
@@ -300,7 +340,8 @@ def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
     y_hi = y_lo + STRIP_H
     lane = jax.lax.broadcasted_iota(jnp.int32, (npx, FACE_CHUNK), 1)
 
-    def chunk_body(ch, carry):
+    def chunk_body(j, carry):
+        ch = sched_ref[s, j] if static_sched else j
         base = ch * FACE_CHUNK
 
         def do_chunk(carry):
@@ -329,8 +370,12 @@ def _fwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, zbuf_ref,
     init = (jnp.full((npx, FACE_CHUNK), BIG, jnp.float32),
             jnp.zeros((npx, FACE_CHUNK), jnp.int32),
             jnp.zeros((npx, FACE_CHUNK), jnp.float32))
+    if static_sched:
+        j_lo, j_hi = 0, counts_ref[s, 0]
+    else:
+        j_lo, j_hi = sched_ref[s, 0], sched_ref[s, 1]
     zmin_l, gid_l, lk_acc = jax.lax.fori_loop(
-        bounds_ref[s, 0], bounds_ref[s, 1], chunk_body, init)
+        j_lo, j_hi, chunk_body, init)
 
     zrow = jnp.min(zmin_l, axis=1, keepdims=True)
     amin = jnp.min(jnp.where(zmin_l <= zrow, gid_l, 2 ** 30),
@@ -356,22 +401,44 @@ def _window_to_cells(x, win):
         0, 2, 1, 3).reshape(n_strips * _n_xb(win) * STRIP_H * xw, 1)
 
 
-def _run_forward(mat, meta, extents_sorted, agg, win: int,
+def _sched_operands(sched, nc, n_strips):
+    """(sched0, counts, their SMEM specs, static flag) for a runner.
+
+    sched is either the (n_strips, 2) bounds array (band-sorted mode)
+    or the ((n_strips, nc) lists, (n_strips, 1) counts) tuple
+    (pre-ordered mode). Bounds mode passes a dummy counts scalar."""
+    if isinstance(sched, tuple):
+        lists, counts = sched
+        specs = [pl.BlockSpec((n_strips, nc), lambda s, xb: (0, 0),
+                              memory_space=pltpu.SMEM),
+                 pl.BlockSpec((n_strips, 1), lambda s, xb: (0, 0),
+                              memory_space=pltpu.SMEM)]
+        return lists, counts, specs, True
+    dummy = jnp.zeros((1, 1), jnp.int32)
+    specs = [pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
+                          memory_space=pltpu.SMEM),
+             pl.BlockSpec((1, 1), lambda s, xb: (0, 0),
+                          memory_space=pltpu.SMEM)]
+    return sched, dummy, specs, False
+
+
+def _run_forward(mat, meta, sched, agg, win: int,
                  inv_blur: float, znear: float):
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
     npx = STRIP_H * (win // _n_xb(win))
+    sched0, counts, sched_specs, static_sched = _sched_operands(
+        sched, nc, n_strips)
     kernel = functools.partial(_fwd_kernel, win=win,
-                               inv_blur=inv_blur, znear=znear)
-    bounds = _strip_chunk_bounds(extents_sorted, win)
+                               inv_blur=inv_blur, znear=znear,
+                               static_sched=static_sched)
     out_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * _n_xb(win) + xb, 0),
                             memory_space=pltpu.VMEM)
     zzl = pl.pallas_call(
         kernel,
         grid=(n_strips, _n_xb(win)),
-        in_specs=[pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
-                               memory_space=pltpu.SMEM),
+        in_specs=sched_specs + [
                   pl.BlockSpec((nc, 4), lambda s, xb: (0, 0),
                                memory_space=pltpu.SMEM),
                   pl.BlockSpec((8, NPLANES * F_pad),
@@ -388,12 +455,13 @@ def _run_forward(mat, meta, extents_sorted, agg, win: int,
             jax.ShapeDtypeStruct((n_strips * _n_xb(win) * npx, 1), jnp.int32),
         ],
         interpret=_interpret(),
-    )(bounds, agg, mat, meta)
+    )(sched0, counts, agg, mat, meta)
     return tuple(_cells_to_window(x, win) for x in zzl)
 
 
-def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
-                dlk_ref, amin_ref, dmat_ref, *, win, inv_blur, znear):
+def _bwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
+                dz_ref, dlk_ref, amin_ref, dmat_ref, *, win, inv_blur,
+                znear, static_sched):
     s = pl.program_id(0)
     xb = pl.program_id(1)
     px, py, npx = _cell_pixels(s, xb, win)
@@ -414,7 +482,8 @@ def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
     dlk = dlk_ref[:, :]
     amin = amin_ref[:, :]
 
-    def chunk_body(ch, _):
+    def chunk_body(j, _):
+        ch = sched_ref[s, j] if static_sched else j
         base = ch * FACE_CHUNK
 
         def do_chunk(_):
@@ -454,27 +523,30 @@ def _bwd_kernel(bounds_ref, agg_ref, mat_ref, meta_ref, dz_ref,
                      do_chunk, lambda _: 0, 0)
         return 0
 
-    jax.lax.fori_loop(bounds_ref[s, 0], bounds_ref[s, 1], chunk_body,
-                      0)
+    if static_sched:
+        j_lo, j_hi = 0, counts_ref[s, 0]
+    else:
+        j_lo, j_hi = sched_ref[s, 0], sched_ref[s, 1]
+    jax.lax.fori_loop(j_lo, j_hi, chunk_body, 0)
 
 
-def _run_backward(mat, meta, extents_sorted, agg, dz, dlk, amin, win,
+def _run_backward(mat, meta, sched, agg, dz, dlk, amin, win,
                   inv_blur, znear):
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     n_strips = win // STRIP_H
     npx = STRIP_H * (win // _n_xb(win))
+    sched0, counts, sched_specs, static_sched = _sched_operands(
+        sched, nc, n_strips)
     kernel = functools.partial(_bwd_kernel, win=win,
-                               inv_blur=inv_blur, znear=znear)
-    bounds = _strip_chunk_bounds(extents_sorted, win)
+                               inv_blur=inv_blur, znear=znear,
+                               static_sched=static_sched)
     col_spec = pl.BlockSpec((npx, 1), lambda s, xb: (s * _n_xb(win) + xb, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(n_strips, _n_xb(win)),
-        in_specs=[
-            pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
-                         memory_space=pltpu.SMEM),
+        in_specs=sched_specs + [
             pl.BlockSpec((nc, 4), lambda s, xb: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, NPLANES * F_pad), lambda s, xb: (0, 0),
@@ -489,7 +561,7 @@ def _run_backward(mat, meta, extents_sorted, agg, dz, dlk, amin, win,
         out_shape=[jax.ShapeDtypeStruct((8, NPLANES * F_pad),
                                         jnp.float32)],
         interpret=_interpret(),
-    )(bounds, agg, mat, meta, _window_to_cells(dz, win),
+    )(sched0, counts, agg, mat, meta, _window_to_cells(dz, win),
       _window_to_cells(dlk, win), _window_to_cells(amin, win))[0]
 
 
@@ -497,28 +569,38 @@ def _run_backward(mat, meta, extents_sorted, agg, dz, dlk, amin, win,
 # Public API with custom VJP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def raster_planes_pallas(planes, extents, win: int, inv_blur: float,
-                         znear: float):
+                         znear: float, preordered: bool = False):
     """(zbuf, sil) for one body's window from per-face plane coeffs.
 
     planes: (F, 12) from rasterizer.face_planes (differentiated);
     extents: tuple(bbox (F, 4), lo_y (F,), hi_y (F,), ok_sil (F,),
     ok_depth (F,)) — data-only (no gradient). zbuf is +inf where
-    uncovered.
+    uncovered. preordered: the faces behind `planes` follow a static
+    spatially coherent order (rasterizer.spatial_face_order) — skips
+    the per-call argsort/gather (see RasterSettings.preordered).
     """
-    out, _ = _raster_fwd(planes, extents, win, inv_blur, znear)
+    out, _ = _raster_fwd(planes, extents, win, inv_blur, znear,
+                         preordered)
     return out
 
 
-def _raster_fwd(planes, extents, win, inv_blur, znear):
+def _raster_fwd(planes, extents, win, inv_blur, znear, preordered):
     from jax.ad_checkpoint import checkpoint_name
 
     bbox, lo_y, hi_y, ok_sil, ok_depth = extents
     reach = 3.0 / np.sqrt(inv_blur) + 1.0
-    mat, meta, ext_s, agg, order = _pack_face_table(
-        planes, bbox, ok_sil, ok_depth, lo_y, hi_y, reach)
-    zmin, logkeep, amin = _run_forward(mat, meta, ext_s, agg, win,
+    if preordered:
+        mat, meta, agg = _pack_face_table_static(
+            planes, bbox, ok_sil, ok_depth, lo_y, hi_y, reach)
+        sched = _strip_chunk_lists(agg, win)
+        order = None
+    else:
+        mat, meta, ext_s, agg, order = _pack_face_table(
+            planes, bbox, ok_sil, ok_depth, lo_y, hi_y, reach)
+        sched = _strip_chunk_bounds(ext_s, win)
+    zmin, logkeep, amin = _run_forward(mat, meta, sched, agg, win,
                                        inv_blur, znear)
     # Middle remat tier: under jax.checkpoint with the engine's
     # save_only_these_names policy, the backward pass keeps ONLY these
@@ -531,29 +613,32 @@ def _raster_fwd(planes, extents, win, inv_blur, znear):
     zmin = checkpoint_name(zmin, "raster_residuals")
     zbuf = jnp.where(zmin >= BIG, jnp.inf, zmin)
     sil = checkpoint_name(1.0 - jnp.exp(logkeep), "raster_residuals")
-    return (zbuf, sil), (mat, meta, ext_s, agg, order, logkeep, amin,
+    return (zbuf, sil), (mat, meta, sched, agg, order, logkeep, amin,
                          planes.shape[0])
 
 
-def _raster_bwd(win, inv_blur, znear, res, cot):
-    mat, meta, ext_s, agg, order, logkeep, amin, F = res
+def _raster_bwd(win, inv_blur, znear, preordered, res, cot):
+    mat, meta, sched, agg, order, logkeep, amin, F = res
     d_zbuf, d_sil = cot
     d_z = jnp.where(jnp.isfinite(d_zbuf) & (amin >= 0), d_zbuf, 0.0)
     # sil = 1 - exp(logkeep) => d_logkeep = -exp(logkeep) * d_sil
     d_lk = -jnp.exp(logkeep) * d_sil
-    dmat = _run_backward(mat, meta, ext_s, agg, d_z, d_lk, amin, win,
+    dmat = _run_backward(mat, meta, sched, agg, d_z, d_lk, amin, win,
                          inv_blur, znear)
-    # invert the matmul layout: dmat[r, c, b, l] -> (F_pad, 12), then
-    # unsort (sorted row r held face order[r])
+    # invert the matmul layout: dmat[r, c, b, l] -> (F_pad, 12)
     F_pad = meta.shape[1]
     nc = F_pad // FACE_CHUNK
     d_sorted = dmat[:3].reshape(3, nc, NPLANES, FACE_CHUNK).transpose(
         1, 3, 2, 0).reshape(F_pad, 12)
-    # invert the permutation with an int32 scatter + row gather (a
-    # direct (F, 12) row scatter was measured 1.5x slower end-to-end)
-    inv = jnp.zeros((F,), jnp.int32).at[order].set(
-        jnp.arange(F, dtype=jnp.int32))
-    d_planes = jnp.take(d_sorted, inv, axis=0)         # (F, 12)
+    if preordered:
+        d_planes = d_sorted[:F]      # identity order: no unsort
+    else:
+        # invert the permutation with an int32 scatter + row gather (a
+        # direct (F, 12) row scatter was measured 1.5x slower
+        # end-to-end)
+        inv = jnp.zeros((F,), jnp.int32).at[order].set(
+            jnp.arange(F, dtype=jnp.int32))
+        d_planes = jnp.take(d_sorted, inv, axis=0)     # (F, 12)
     zeros_f = jnp.zeros((F,), jnp.float32)
     zeros_b = jnp.zeros((F,), bool)
     return d_planes, (jnp.zeros((F, 4), jnp.float32), zeros_f, zeros_f,
@@ -582,5 +667,5 @@ def rasterize_body_pallas(verts, faces, cam_K,
     inv_blur = 1.0 / settings.sil_blur_px2
     zbuf, sil = raster_planes_pallas(
         planes, (bbox, lo_y, hi_y, ok_sil, ok_depth), settings.window,
-        inv_blur, settings.znear)
+        inv_blur, settings.znear, settings.preordered)
     return {"zbuf": zbuf, "sil": sil, "origin": origin}

@@ -91,6 +91,12 @@ class RasterSettings(NamedTuple):
     # kernel computes — see module docstring) or "segment" (exact
     # point-triangle distance, PyTorch3D parity).
     sil_mode: str = "edge_lines"
+    # Pallas backend only: the caller promises `faces` is already in a
+    # spatially coherent static order (see `spatial_face_order`), so
+    # the kernel skips its per-call (y-band, x) argsort + fused table
+    # gather and schedules chunks from per-strip active-chunk lists
+    # instead. Output is identical up to silhouette summation order.
+    preordered: bool = False
 
     @property
     def sil_blur_px2(self) -> float:
@@ -159,6 +165,35 @@ def face_planes(fuv, fz, znear, eps: float = 1e-12):
         axis=-1))
     ok_sil = jnp.all(fz > znear, axis=-1)
     return planes, bbox, ok_sil, ok_sil & ok_area
+
+
+def spatial_face_order(v_template, faces,
+                       band: float = 0.05) -> np.ndarray:
+    """Static spatially coherent face ordering from TEMPLATE geometry.
+
+    Boustrophedon sweep over template face centroids: 5 cm y-bands,
+    serpentine x within each band. Each run of
+    `raster_pallas.FACE_CHUNK` consecutive faces becomes one of the
+    Pallas kernel's streaming chunks; for mostly-upright bodies the
+    template (y, x) layout survives articulation well enough that the
+    posed per-chunk bboxes stay tight (measured ~13% more active
+    (cell, chunk) pairs than the kernel's per-call posed-space sort —
+    a 3-D Morton order was 2.3x worse: its patches mix depth-separated
+    surface that the y-band sweep keeps apart). Computing the order
+    once per model on the host replaces the kernel's per-call argsort
+    + fused gather of the face table. The reference has no analog
+    (PyTorch3D re-bins faces on GPU every call,
+    reference optimizer.py:209-232).
+
+    Returns an int32 permutation; use `faces[order]` together with
+    `RasterSettings.preordered=True`.
+    """
+    v = np.asarray(v_template, np.float64)
+    f = np.asarray(faces)
+    c = v[f].mean(axis=1)
+    b = np.floor((c[:, 1] - c[:, 1].min()) / band)
+    x = np.where(b % 2 == 0, c[:, 0], -c[:, 0])
+    return np.lexsort((x, b)).astype(np.int32)
 
 
 def eval_planes(px, py, planes, bbox, znear):

@@ -48,6 +48,12 @@ def worker_env(slot: int, platform: str = "tpu") -> dict:
     env = dict(os.environ)
     if platform == "cpu":
         env["JAX_PLATFORMS"] = "cpu"
+        # CPU workers must not load the remote-TPU PJRT plugin: it
+        # would race the real workers for the tunnel, and its
+        # sitecustomize costs ~2 s of every python startup
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and "axon" not in p)
     else:
         # single-host chip pinning: the process sees one chip only
         env["TPU_VISIBLE_DEVICES"] = str(slot)
