@@ -250,22 +250,43 @@ def _strip_chunk_bounds(extents_sorted, win: int):
 
 
 def _strip_chunk_lists(agg, win: int):
-    """Per-strip ACTIVE-chunk index lists from the chunk aggregates
+    """Per-strip x-SORTED active-chunk lists + per-CELL index bounds
     (static-order mode, where chunk ids touching a strip are not
-    contiguous). A (n_strips, nc) y-overlap test and one tiny sort
-    pack the active ids to the front; the kernel loops j < counts[s]
-    and never reads the padding entries.
+    contiguous).
+
+    For each strip, the chunks that overlap it in y are packed to the
+    front sorted by their bbox x-lo; each (strip, x-block) cell then
+    walks only the [lo, hi) slice of that list that can reach it in x
+    (hi by searchsorted on the sorted x-lo, lo by the same search
+    shifted by the strip's widest chunk — the x analog of the band
+    mode's h_max trick). Returns (lists (n_strips, nc) int32,
+    bounds (n_strips * n_xb, 2) int32).
     """
     n_strips = win // STRIP_H
+    n_xb = _n_xb(win)
+    xw = win // n_xb
     nc = agg.shape[0]
     s = jnp.arange(n_strips, dtype=jnp.float32)[:, None]
     active = ((agg[None, :, AGG_YLO] < (s + 1.0) * STRIP_H)
               & (agg[None, :, AGG_YHI] >= s * STRIP_H))
-    iota = jnp.arange(nc, dtype=jnp.int32)[None, :]
-    lists = jnp.sort(jnp.where(active, iota, nc + iota), axis=1)
-    counts = jnp.sum(active.astype(jnp.int32), axis=1)[:, None]
-    # clamp padding entries into range (never read: j < counts[s])
-    return jnp.minimum(lists, nc - 1).astype(jnp.int32), counts
+    xlo = jnp.where(active, agg[None, :, AGG_XLO], BIG)
+    order = jnp.argsort(xlo, axis=1)                   # actives first
+    lists = order.astype(jnp.int32)
+    xlo_s = jnp.take_along_axis(xlo, order, axis=1)    # sorted, BIG tail
+    width = jnp.where(active,
+                      agg[None, :, AGG_XHI] - agg[None, :, AGG_XLO],
+                      0.0)
+    wmax = jnp.max(width, axis=1, keepdims=True)       # (n_strips, 1)
+    cell_lo = jnp.broadcast_to(
+        (jnp.arange(n_xb, dtype=jnp.float32) * xw)[None, :],
+        (n_strips, n_xb))
+    hi_idx = jax.vmap(jnp.searchsorted)(
+        xlo_s, cell_lo + float(xw))                    # xlo >= cell hi
+    lo_idx = jax.vmap(jnp.searchsorted)(
+        xlo_s, cell_lo - wmax)                         # xhi can't reach
+    bounds = jnp.stack([lo_idx, hi_idx], axis=-1).reshape(
+        n_strips * n_xb, 2).astype(jnp.int32)
+    return lists, bounds
 
 
 def _cell_pixels(s, xb, win):
@@ -371,7 +392,8 @@ def _fwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
             jnp.zeros((npx, FACE_CHUNK), jnp.int32),
             jnp.zeros((npx, FACE_CHUNK), jnp.float32))
     if static_sched:
-        j_lo, j_hi = 0, counts_ref[s, 0]
+        cell = s * _n_xb(win) + xb
+        j_lo, j_hi = counts_ref[cell, 0], counts_ref[cell, 1]
     else:
         j_lo, j_hi = sched_ref[s, 0], sched_ref[s, 1]
     zmin_l, gid_l, lk_acc = jax.lax.fori_loop(
@@ -401,23 +423,25 @@ def _window_to_cells(x, win):
         0, 2, 1, 3).reshape(n_strips * _n_xb(win) * STRIP_H * xw, 1)
 
 
-def _sched_operands(sched, nc, n_strips):
-    """(sched0, counts, their SMEM specs, static flag) for a runner.
+def _sched_operands(sched, nc, n_strips, n_xb):
+    """(sched0, sched1, their SMEM specs, static flag) for a runner.
 
-    sched is either the (n_strips, 2) bounds array (band-sorted mode)
-    or the ((n_strips, nc) lists, (n_strips, 1) counts) tuple
-    (pre-ordered mode). Bounds mode passes a dummy counts scalar."""
+    sched is either the (n_strips, 2) strip bounds array (band-sorted
+    mode) or the ((n_strips, nc) x-sorted lists,
+    (n_strips * n_xb, 2) per-cell bounds) tuple (pre-ordered mode).
+    Bounds mode passes a dummy second operand."""
     if isinstance(sched, tuple):
-        lists, counts = sched
+        lists, cell_bounds = sched
         specs = [pl.BlockSpec((n_strips, nc), lambda s, xb: (0, 0),
                               memory_space=pltpu.SMEM),
-                 pl.BlockSpec((n_strips, 1), lambda s, xb: (0, 0),
+                 pl.BlockSpec((n_strips * n_xb, 2),
+                              lambda s, xb: (0, 0),
                               memory_space=pltpu.SMEM)]
-        return lists, counts, specs, True
-    dummy = jnp.zeros((1, 1), jnp.int32)
+        return lists, cell_bounds, specs, True
+    dummy = jnp.zeros((1, 2), jnp.int32)
     specs = [pl.BlockSpec((n_strips, 2), lambda s, xb: (0, 0),
                           memory_space=pltpu.SMEM),
-             pl.BlockSpec((1, 1), lambda s, xb: (0, 0),
+             pl.BlockSpec((1, 2), lambda s, xb: (0, 0),
                           memory_space=pltpu.SMEM)]
     return sched, dummy, specs, False
 
@@ -429,7 +453,7 @@ def _run_forward(mat, meta, sched, agg, win: int,
     n_strips = win // STRIP_H
     npx = STRIP_H * (win // _n_xb(win))
     sched0, counts, sched_specs, static_sched = _sched_operands(
-        sched, nc, n_strips)
+        sched, nc, n_strips, _n_xb(win))
     kernel = functools.partial(_fwd_kernel, win=win,
                                inv_blur=inv_blur, znear=znear,
                                static_sched=static_sched)
@@ -524,7 +548,8 @@ def _bwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
         return 0
 
     if static_sched:
-        j_lo, j_hi = 0, counts_ref[s, 0]
+        cell = s * _n_xb(win) + xb
+        j_lo, j_hi = counts_ref[cell, 0], counts_ref[cell, 1]
     else:
         j_lo, j_hi = sched_ref[s, 0], sched_ref[s, 1]
     jax.lax.fori_loop(j_lo, j_hi, chunk_body, 0)
@@ -537,7 +562,7 @@ def _run_backward(mat, meta, sched, agg, dz, dlk, amin, win,
     n_strips = win // STRIP_H
     npx = STRIP_H * (win // _n_xb(win))
     sched0, counts, sched_specs, static_sched = _sched_operands(
-        sched, nc, n_strips)
+        sched, nc, n_strips, _n_xb(win))
     kernel = functools.partial(_bwd_kernel, win=win,
                                inv_blur=inv_blur, znear=znear,
                                static_sched=static_sched)
