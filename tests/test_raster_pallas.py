@@ -157,3 +157,38 @@ def test_pallas_preordered_matches_dynamic():
     # few-1e-4 absolute drift on those vertices
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_strip_chunk_lists_cover_all_overlaps():
+    """Property: every chunk whose reach-expanded bbox overlaps a
+    (strip, x-block) cell must appear in that cell's [lo, hi) slice of
+    the x-sorted strip list (the searchsorted lo-bound uses the
+    strip's widest chunk — verify no overlap escapes it)."""
+    rng = np.random.RandomState(7)
+    win = 64
+    n_xb = RP._n_xb(win)
+    xw = win // n_xb
+    for trial in range(20):
+        nc = rng.randint(2, 12)
+        lo = rng.uniform(-40, win + 20, (nc, 2))
+        ext = rng.uniform(1, 50, (nc, 2))
+        agg = np.stack([lo[:, 0], lo[:, 0] + ext[:, 0],
+                        lo[:, 1], lo[:, 1] + ext[:, 1]], axis=1)
+        # a few empty chunks (BIG/-BIG sentinels, as _fold_pack emits)
+        for i in rng.choice(nc, rng.randint(0, nc // 2 + 1),
+                            replace=False):
+            agg[i] = [RP.BIG, -RP.BIG, RP.BIG, -RP.BIG]
+        lists, bounds = RP._strip_chunk_lists(
+            jnp.asarray(agg, jnp.float32), win)
+        lists, bounds = np.asarray(lists), np.asarray(bounds)
+        for s in range(win // RP.STRIP_H):
+            y0, y1 = s * RP.STRIP_H, (s + 1) * RP.STRIP_H
+            for xb in range(n_xb):
+                x0, x1 = xb * xw, (xb + 1) * xw
+                cell = s * n_xb + xb
+                sched = set(lists[s, bounds[cell, 0]:bounds[cell, 1]])
+                for c in range(nc):
+                    overlaps = (agg[c, 2] < y1 and agg[c, 3] >= y0
+                                and agg[c, 0] < x1 and agg[c, 1] >= x0)
+                    if overlaps:
+                        assert c in sched, (trial, s, xb, c)
