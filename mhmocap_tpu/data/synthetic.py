@@ -110,7 +110,17 @@ def generate_sequence(
 
     scene_z = _render_scene_depth(K, image_size)
 
-    # Per-frame rendering: project vertices, z-buffer by splatting
+    # ONE batched projection for all T*N bodies and joint sets (a
+    # per-(frame, person) device call costs ~0.5 s of dispatch against
+    # the remote TPU backend — 603 calls dominated generation time)
+    uvz_all = np.asarray(project_points(
+        jnp.asarray(verts.reshape(T * N, -1, 3)), jnp.asarray(K),
+        return_depth=True)).reshape(T, N, -1, 3)
+    uv_j_all = np.asarray(project_points(
+        jnp.asarray(joints_ap.reshape(T * N, -1, 3)),
+        jnp.asarray(K))).reshape(T, N, -1, 2)
+
+    # Per-frame rendering: z-buffer by splatting
     alphapose_json = []
     annot_list = []
     for t in range(T):
@@ -121,9 +131,7 @@ def generate_sequence(
 
         order = np.argsort(-poses_T[t, :, 0, 2])  # far to near
         for n in order:
-            uvz = np.asarray(project_points(
-                jnp.asarray(verts[t, n]), jnp.asarray(K),
-                return_depth=True))
+            uvz = uvz_all[t, n]
             us = np.round(uvz[:, 0]).astype(int)
             vs = np.round(uvz[:, 1]).astype(int)
             ok = (us >= 0) & (us < W) & (vs >= 0) & (vs < H) \
@@ -156,8 +164,7 @@ def generate_sequence(
         for n in range(N):
             if track_dropout > 0 and rng.rand() < track_dropout:
                 continue
-            uv = np.asarray(project_points(jnp.asarray(joints_ap[t, n]),
-                                           jnp.asarray(K)))
+            uv = uv_j_all[t, n]
             kpts = np.concatenate(
                 [uv, 0.95 * np.ones((len(uv), 1))], axis=1)
             alphapose_json.append({
