@@ -212,3 +212,82 @@ def carve_fog_with_meshes(fog, verts, faces, near_z, far_z, cam_K):
             verts[b], faces, pts)
     carved = solid & inside_any
     return carved.reshape(H, W, D).transpose(2, 0, 1)
+
+
+def build_fhsog_from_smpl(depths_metric, images, backmasks, verts,
+                          faces, cam_K, near_z: float, far_z: float,
+                          num_depth_bins: int = 128,
+                          sigma: float = 0.25,
+                          person_sigma: float = 5.0):
+    """SMPL-conditioned FHSOG (reference fhsog.py:234-296).
+
+    Accumulates, over frames, a Gaussian-distance-field-weighted
+    occupancy along log-spaced depth bins, gated in depth by where the
+    rasterized people actually are: each frame renders all N bodies
+    (our TPU rasterizer replaces the reference's PyTorch3D loop),
+    masks the background to cells that are neither body nor out of
+    the frustum, and adds GDF mass at each pixel's depth bin weighted
+    by a 1-D GDF around the per-person average depths.
+
+    depths_metric: (T, H, W) metric depth; images: (T, H, W, 3) f32;
+    backmasks: (T, H, W); verts: (T, N, V, 3) camera space;
+    faces: (F, 3). Returns (fhsog_alpha (D, H, W), texture (H, W, 3),
+    outmask (H, W), smpl_masks (T, H, W), gdfs (T, H, W)).
+    """
+    from ..ops.rasterizer import RasterSettings, rasterize_bodies
+
+    T, N = verts.shape[:2]
+    H, W = depths_metric.shape[1:]
+    D = num_depth_bins
+    assert H == W, "full-image raster expects square frames"
+
+    st = RasterSettings(image_size=(W, H), window=W)
+    backseg = ((backmasks > 0.5) & (depths_metric > near_z)
+               & (depths_metric < far_z))
+    log_span = float(np.log(far_z) - np.log(near_z))
+
+    def frame_bins(depth_hw):
+        vlog = ((jnp.log(jnp.clip(depth_hw, near_z, far_z))
+                 - np.log(near_z)) / log_span)
+        return jnp.clip((D * vlog - 0.5).astype(jnp.int32), 0, D - 1)
+
+    def one_frame(carry, inp):
+        fhsog_alpha, texture = carry
+        v_t, depth_t, img_t, backseg_t = inp
+        r = rasterize_bodies(v_t, faces, cam_K, st)
+        zb = r["zbuf"]                               # (N, H, W)
+        zmask = jnp.isfinite(zb) & (zb > 0)
+        zb_safe = jnp.where(zmask, zb, 0.0)
+        smpl_mask = jnp.any(zmask, axis=0)           # (H, W)
+        avg_pd = (jnp.sum(zb_safe, axis=(1, 2))
+                  / jnp.clip(jnp.sum(zmask, axis=(1, 2)), 1))
+        avg_pd = jnp.clip(avg_pd, near_z, far_z)     # (N,)
+
+        gdf2 = gaussian_distance_field_2d(
+            (backseg_t & ~smpl_mask).astype(jnp.float32), sigma=sigma)
+
+        person_bins = jnp.clip(
+            (D * (jnp.log(avg_pd) - np.log(near_z)) / log_span - 0.5
+             ).astype(jnp.int32), 0, D - 1)
+        person_vec = jnp.ones((D,)).at[person_bins].set(0.0)
+        person_gdf = gaussian_distance_field_1d(
+            person_vec, sigma=person_sigma)          # (D,)
+
+        idx = frame_bins(depth_t)                    # (H, W)
+        gval = gdf2 * person_gdf[idx]                # (H, W)
+        fhsog_alpha = fhsog_alpha.at[
+            idx.reshape(-1),
+            jnp.arange(H * W)].add(gval.reshape(-1))
+        texture = texture + gval[..., None] * img_t
+        return (fhsog_alpha, texture), (smpl_mask, gdf2)
+
+    init = (jnp.zeros((D, H * W), jnp.float32),
+            jnp.zeros((H, W, 3), jnp.float32))
+    (fhsog_alpha, texture), (smpl_masks, gdfs) = lax.scan(
+        one_frame, init,
+        (verts, depths_metric, images.astype(jnp.float32), backseg))
+    fhsog_alpha = fhsog_alpha.reshape(D, H, W)
+    outmask = jnp.sum(fhsog_alpha, axis=0)
+    texture = jnp.clip(
+        texture / jnp.clip(outmask[..., None], 0.1), 0, 255)
+    return fhsog_alpha, texture, outmask, smpl_masks, gdfs

@@ -93,3 +93,38 @@ def test_build_fhs_occupancy_grid_shapes(rng):
     # occupancy is monotone in depth (carved from argmax onward)
     fogn = np.asarray(fog)
     assert (np.diff(fogn, axis=0) >= 0).all()
+
+
+def test_build_fhsog_from_smpl(rng):
+    """SMPL-conditioned FHSOG (reference fhsog.py:234-296): mass
+    accumulates only in background cells away from the rendered
+    people, gated near the people's depth bins."""
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    from mhmocap_tpu.models.smpl import smpl_forward
+    from mhmocap_tpu.ops.cameras import intrinsics_from_fov
+
+    T, N, side, D = 2, 1, 64, 16
+    model = make_synthetic_smpl(num_vertices=512, seed=4)
+    K = jnp.asarray(intrinsics_from_fov((side, side), 60.0))
+    out = smpl_forward(model, jnp.zeros((T * N, 10)),
+                       jnp.zeros((T * N, 72)),
+                       transl=jnp.tile(jnp.asarray([[0.0, 0.3, 3.0]]),
+                                       (T * N, 1)))
+    verts = out["verts"].reshape(T, N, -1, 3)
+    depths = np.full((T, side, side), 6.0, np.float32)
+    images = (255 * rng.rand(T, side, side, 3)).astype(np.float32)
+    back = np.ones((T, side, side), np.float32)
+
+    fog, tex, outmask, smpl_masks, gdfs = F.build_fhsog_from_smpl(
+        jnp.asarray(depths), jnp.asarray(images), jnp.asarray(back),
+        verts, model.faces, K, near_z=1.0, far_z=16.0,
+        num_depth_bins=D)
+    assert fog.shape == (D, side, side)
+    assert tex.shape == (side, side, 3)
+    assert smpl_masks.shape == (T, side, side)
+    fogn, masks = np.asarray(fog), np.asarray(smpl_masks)
+    assert masks.any(), "people must rasterize"
+    # no fog mass on person pixels (GDF zeroed at/inside features)
+    person_all = masks.all(axis=0)
+    assert fogn[:, person_all].sum() == 0.0
+    assert float(jnp.sum(fog)) > 0.0
