@@ -174,12 +174,14 @@ class Predictor:
     # ------------------------------------------------------------------
     def run(self) -> Dict:
         seq, cfg = self.seq, self.cfg
+        t0 = time.time()
 
         params, init_hist, optimize_scale = E.init_params(
             self.model, seq.pose2d, seq.poses_smpl, seq.betas_smpl,
             seq.cam["K"], cfg,
             scale_factor=getattr(self.args, "scale_factor", None),
             num_iter=100)
+        print(f"init solve: {time.time() - t0:.1f}s", flush=True)
 
         init_optvar = E.get_optimized_variables(
             params, cfg, seq.valid_smpl)
@@ -196,14 +198,18 @@ class Predictor:
                 init_hist,
                 joints_thr=cfg.joint_confidence_thr)
 
+        t1 = time.time()
         log, scene_host = self.fit(params, optimize_scale)
         params = self._params
+        print(f"stage-1 fit: {time.time() - t1:.1f}s", flush=True)
 
+        t2 = time.time()
         stage1_optvar = E.get_optimized_variables(
             params, cfg, seq.valid_smpl, scene=scene_host)
         with open(os.path.join(self.output_path, "optvar_stage1.pkl"),
                   "wb") as f:
             pickle.dump(stage1_optvar, f)
+        print(f"outputs: {time.time() - t2:.1f}s", flush=True)
 
         if self.save_visualizations:
             from ..viz.export import save_visualization_stage1

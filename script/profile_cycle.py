@@ -62,6 +62,11 @@ def main():
 
     T, N, side = args.T, 3, 256
     model = make_synthetic_smpl()
+    # production raster path: statically ordered faces (as bench.py
+    # and the Predictor configure)
+    order = R.spatial_face_order(model.v_template, model.faces)
+    model = model.replace(
+        faces=jnp.asarray(np.asarray(model.faces)[order]))
     K = intrinsics_from_fov((side, side), 60.0)
     rng = np.random.RandomState(0)
 
@@ -80,7 +85,7 @@ def main():
 
     cfg = E.EngineConfig(image_size=(side, side), num_people=N,
                          num_frames=T, chunk=16, window=128,
-                         face_chunk=128)
+                         face_chunk=128, preordered_faces=True)
     params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
                                  cfg, num_iter=5)
     seg = np.zeros((T, N, side, side), np.float32)
