@@ -121,10 +121,43 @@ class SMPLModel:
 
 
 def _dense(x) -> np.ndarray:
-    """Convert possibly-sparse (scipy) array-like data to dense float32."""
+    """Convert possibly-sparse (scipy) or chumpy-wrapped array-like
+    data to dense float32."""
+    if isinstance(x, _ChumpyPlaceholder):
+        x = x.x
     if hasattr(x, "todense"):
         x = x.todense()
     return np.asarray(x, dtype=np.float32)
+
+
+class _ChumpyPlaceholder:
+    """Stand-in for chumpy.Ch when unpickling the official
+    SMPL_NEUTRAL.pkl without chumpy installed (the download wraps
+    v_template/shapedirs/... in chumpy objects; the reference only
+    loads it with chumpy importable, smpl.py:187-188). Captures the
+    pickled state; the wrapped numpy data lives in `.x`."""
+
+    def __init__(self, *args, **kwargs):
+        if args and isinstance(args[0], np.ndarray):
+            self.x = args[0]
+
+    def __setstate__(self, state):
+        if isinstance(state, dict):
+            self.__dict__.update(state)
+
+    @property
+    def r(self):
+        return np.asarray(self.x)
+
+
+class _ChumpyTolerantUnpickler(pickle.Unpickler):
+    """Map any chumpy.* class to the placeholder so the official SMPL
+    pickle loads in a chumpy-free environment."""
+
+    def find_class(self, module, name):
+        if module.startswith("chumpy"):
+            return _ChumpyPlaceholder
+        return super().find_class(module, name)
 
 
 def _tree_levels(parents):
@@ -163,7 +196,7 @@ def load_smpl_model(
     if os.path.isdir(model_path):
         model_path = os.path.join(model_path, "SMPL_NEUTRAL.pkl")
     with open(model_path, "rb") as f:
-        data = pickle.load(f, encoding="latin1")
+        data = _ChumpyTolerantUnpickler(f, encoding="latin1").load()
 
     v_template = _dense(data["v_template"])
     shapedirs = _dense(data["shapedirs"])[:, :, :NUM_BETAS]

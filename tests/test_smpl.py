@@ -160,3 +160,64 @@ def test_smpl_forward_vmap_over_frames(tiny_smpl):
     fn = jax.vmap(lambda b, p: M.smpl_forward(tiny_smpl, b, p)["verts"])
     verts = fn(betas, poses)
     assert verts.shape == (T, N, tiny_smpl.num_vertices, 3)
+
+
+def test_load_smpl_pickle_with_chumpy_and_sparse(tmp_path):
+    """The official SMPL_NEUTRAL.pkl wraps arrays in chumpy objects
+    and stores J_regressor sparse; loading must work WITHOUT chumpy
+    installed (reference smpl.py:179-275 requires chumpy importable).
+    Build such a pickle with a throwaway fake chumpy module, drop the
+    module, then load."""
+    import pickle
+    import sys
+    import types
+    import scipy.sparse as sp
+    from mhmocap_tpu.models.smpl import load_smpl_model, smpl_forward
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+
+    src = make_synthetic_smpl(num_vertices=512, seed=9)
+    V = src.num_vertices
+
+    # fake chumpy whose Ch pickles by instance __dict__ (like real Ch)
+    ch_mod = types.ModuleType("chumpy")
+    ch_sub = types.ModuleType("chumpy.ch")
+
+    class Ch:
+        def __init__(self, x):
+            self.x = np.asarray(x)
+
+    Ch.__module__ = "chumpy.ch"
+    Ch.__qualname__ = "Ch"
+    ch_sub.Ch = Ch
+    ch_mod.Ch = Ch
+    sys.modules["chumpy"] = ch_mod
+    sys.modules["chumpy.ch"] = ch_sub
+    try:
+        data = {
+            "v_template": Ch(np.asarray(src.v_template)),
+            "shapedirs": Ch(np.asarray(src.shapedirs)),
+            "posedirs": Ch(np.asarray(src.posedirs).T.reshape(
+                V, 3, 207)),
+            "J_regressor": sp.csc_matrix(np.asarray(src.j_regressor)),
+            "weights": Ch(np.asarray(src.lbs_weights)),
+            "f": np.asarray(src.faces, np.uint32),
+            "kintree_table": np.stack([
+                np.asarray([2 ** 32 - 1] + list(src.parents[1:]),
+                           np.int64),
+                np.arange(24, dtype=np.int64)]),
+        }
+        pkl = tmp_path / "SMPL_NEUTRAL.pkl"
+        with open(pkl, "wb") as f:
+            pickle.dump(data, f, protocol=2)
+    finally:
+        del sys.modules["chumpy"], sys.modules["chumpy.ch"]
+
+    model = load_smpl_model(str(pkl))
+    np.testing.assert_allclose(np.asarray(model.v_template),
+                               np.asarray(src.v_template), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(model.j_regressor),
+                               np.asarray(src.j_regressor), atol=1e-6)
+    out = smpl_forward(model, jnp.zeros((1, 10)), jnp.zeros((1, 72)))
+    ref = smpl_forward(src, jnp.zeros((1, 10)), jnp.zeros((1, 72)))
+    np.testing.assert_allclose(np.asarray(out["verts"]),
+                               np.asarray(ref["verts"]), atol=1e-5)
