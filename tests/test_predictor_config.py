@@ -200,3 +200,37 @@ def test_init_solve_uses_camera_distortion(tiny_smpl):
         reg_velocity_coef=0.0, num_iter=150)
     err_naive = float(jnp.max(jnp.abs(sol_naive - true_T)))
     assert err_naive > 2 * err, (err, err_naive)
+
+
+def test_checkpoint_resume_mid_stage(tmp_path, capsys):
+    """Orbax checkpoint/resume (beyond the reference, survey §5): a
+    second Predictor pointed at the same output_path must resume from
+    the latest checkpoint and only run the remaining cycles."""
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+
+    T, N, side = 16, 2, 32
+    model = make_synthetic_smpl(num_vertices=256, seed=2)
+    rng = np.random.RandomState(3)
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 0] = side / 2 + 1.5 * rng.randn(T, N, 17)
+    pose2d[..., 1] = side / 2 + 1.5 * rng.randn(T, N, 17)
+    pose2d[..., 2] = 0.9
+    seq = _tiny_seq(T=T, N=N, side=side, pose2d=pose2d)
+    seq.seg_mask[:, :, 8:24, 8:24] = 1.0
+
+    def make(num_iter):
+        args = _default_args(batch_size=2, frame_bucket=16,
+                             num_iter=num_iter, raster_window=16,
+                             spmd=False, checkpoint_every=1)
+        return Predictor(seq, model, str(tmp_path), args)
+
+    out1 = make(2).run()
+    assert len(out1["stage1_log"]) == 2
+    capsys.readouterr()
+
+    out2 = make(4).run()
+    printed = capsys.readouterr().out
+    assert "resumed from checkpoint at cycle 1" in printed
+    assert len(out2["stage1_log"]) == 2        # cycles 2 and 3 only
+    pt = out2["stage1_optvar"]["poses_T"]
+    assert np.isfinite(np.asarray(pt)).all()
