@@ -69,12 +69,10 @@ def main():
     pose2d = np.concatenate(
         [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
 
-    # production raster path: statically ordered faces (Predictor does
-    # the same permutation at init)
-    from mhmocap_tpu.ops.rasterizer import spatial_face_order
-    order = spatial_face_order(model.v_template, model.faces)
-    model = model.replace(
-        faces=jnp.asarray(np.asarray(model.faces)[order]))
+    # production raster path: statically ordered faces (what the
+    # Predictor configures)
+    from mhmocap_tpu.ops.rasterizer import preorder_faces
+    model = preorder_faces(model)
     cfg = E.EngineConfig(image_size=(side, side), num_people=N,
                          num_frames=T, chunk=16, window=128,
                          face_chunk=128, preordered_faces=True)

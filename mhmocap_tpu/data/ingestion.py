@@ -195,13 +195,17 @@ def assign_smpl_to_poses(
     T = len(pose2d)
     N = pose2d.shape[1]
 
-    # Pass 1: pad every frame's predictions to the tracked people
-    # count (pure numpy, no sequential dependency).
+    # Pass 1: pad every frame's predictions to one common body count M
+    # (pure numpy, no sequential dependency). M can exceed N when a
+    # frame carries more SMPL/ROMP detections than tracked people —
+    # the Hungarian match in pass 2 then selects the best N (same as
+    # the reference's per-frame `smpl[key][order]` trim).
+    M = max([N] + [len(smpl_preds[f]["poses"]) for f in range(T)])
     for f in range(T):
         smpl = smpl_preds[f]
         smpl["valid"] = np.ones((len(smpl["poses"]), 1), np.float32)
-        if len(smpl["poses"]) < N:
-            miss = N - len(smpl["poses"])
+        if len(smpl["poses"]) < M:
+            miss = M - len(smpl["poses"])
             for key, fillval in (("cam", 1.0), ("valid", 0.0),
                                  ("poses", 0.0), ("betas", 0.0)):
                 pad = np.full((miss,) + smpl[key].shape[1:], fillval,
@@ -221,7 +225,7 @@ def assign_smpl_to_poses(
                                 for f in range(T)], axis=0)
     cams_all = np.concatenate([smpl_preds[f]["cam"]
                                for f in range(T)], axis=0)
-    P = T * N
+    P = T * M
     P_pad = -(-P // 512) * 512
     if P_pad > P:
         betas_all = np.concatenate(
@@ -233,7 +237,7 @@ def assign_smpl_to_poses(
     joints3d_all = np.asarray(
         smpl_joints_fn(betas_all, poses_all))[:P]
     joints2d_all = np.asarray(weak_perspective_projection(
-        joints3d_all, cams_all, image_size)).reshape(T, N, -1, 2)
+        joints3d_all, cams_all, image_size)).reshape(T, M, -1, 2)
 
     # Pass 2: the sequential per-frame assignment (lagged-track
     # imputation reads the previous frame's already-updated pose).

@@ -233,6 +233,11 @@ def build_fhsog_from_smpl(depths_metric, images, backmasks, verts,
     backmasks: (T, H, W); verts: (T, N, V, 3) camera space;
     faces: (F, 3). Returns (fhsog_alpha (D, H, W), texture (H, W, 3),
     outmask (H, W), smpl_masks (T, H, W), gdfs (T, H, W)).
+
+    Reference quirk reproduced: a body with ZERO rasterized pixels
+    (out of frame / fully occluded) gets avg depth 0, which the clip
+    maps to near_z — its person-depth gate then sits at bin 0 for
+    that frame (reference fhsog.py:263-269 does exactly this).
     """
     from ..ops.rasterizer import RasterSettings, rasterize_bodies
 

@@ -70,15 +70,12 @@ class Predictor:
                  output_path: str, parsed_args, **_):
         io_mkdir(output_path)
         self.seq = seq
-        # Static spatially coherent face order (Morton over the
-        # template): lets the Pallas rasterizer skip its per-call face
-        # argsort+gather (cfg.preordered_faces below). Face order is
-        # semantically irrelevant to every consumer (LBS, losses, mesh
-        # export), so the permuted model is used throughout.
-        from ..ops.rasterizer import spatial_face_order
-        order = spatial_face_order(model.v_template, model.faces)
-        self.model = model.replace(
-            faces=jnp.asarray(np.asarray(model.faces)[order]))
+        # Static spatially coherent face order: lets the Pallas
+        # rasterizer skip its per-call face argsort+gather
+        # (cfg.preordered_faces below; see preorder_faces for the
+        # face-index caveat).
+        from ..ops.rasterizer import preorder_faces
+        self.model = preorder_faces(model)
         self.output_path = output_path
         self.args = parsed_args
         self.num_iter = parsed_args.num_iter
@@ -172,8 +169,9 @@ class Predictor:
         return win
 
     # ------------------------------------------------------------------
-    def run(self) -> Dict:
+    def run(self, verbose: bool = True) -> Dict:
         seq, cfg = self.seq, self.cfg
+        verbose = verbose and getattr(self.args, "verbose", True)
         t0 = time.time()
 
         params, init_hist, optimize_scale = E.init_params(
@@ -181,7 +179,8 @@ class Predictor:
             seq.cam["K"], cfg,
             scale_factor=getattr(self.args, "scale_factor", None),
             num_iter=100)
-        print(f"init solve: {time.time() - t0:.1f}s", flush=True)
+        if verbose:
+            print(f"init solve: {time.time() - t0:.1f}s", flush=True)
 
         init_optvar = E.get_optimized_variables(
             params, cfg, seq.valid_smpl)
@@ -199,9 +198,11 @@ class Predictor:
                 joints_thr=cfg.joint_confidence_thr)
 
         t1 = time.time()
-        log, scene_host = self.fit(params, optimize_scale)
+        log, scene_host = self.fit(params, optimize_scale,
+                                   verbose=verbose)
         params = self._params
-        print(f"stage-1 fit: {time.time() - t1:.1f}s", flush=True)
+        if verbose:
+            print(f"stage-1 fit: {time.time() - t1:.1f}s", flush=True)
 
         t2 = time.time()
         stage1_optvar = E.get_optimized_variables(
@@ -209,7 +210,8 @@ class Predictor:
         with open(os.path.join(self.output_path, "optvar_stage1.pkl"),
                   "wb") as f:
             pickle.dump(stage1_optvar, f)
-        print(f"outputs: {time.time() - t2:.1f}s", flush=True)
+        if verbose:
+            print(f"outputs: {time.time() - t2:.1f}s", flush=True)
 
         if self.save_visualizations:
             from ..viz.export import save_visualization_stage1

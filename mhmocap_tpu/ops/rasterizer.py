@@ -196,6 +196,23 @@ def spatial_face_order(v_template, faces,
     return np.lexsort((x, b)).astype(np.int32)
 
 
+def preorder_faces(model):
+    """Return a copy of `model` with faces permuted by
+    `spatial_face_order`, ready for `RasterSettings.preordered=True`
+    (the Predictor, bench, and driver entries all use this).
+
+    Face ORDER is irrelevant to LBS, the losses, and mesh export, but
+    anything holding indices INTO the face array (e.g. landmark
+    `lmk_face_idx` tables, which SMPL-H/X ship) refers to the original
+    ordering — resolve such tables against the unpermuted model, or
+    remap them with the returned permutation's inverse.
+    """
+    import jax.numpy as jnp
+    order = spatial_face_order(model.v_template, model.faces)
+    return model.replace(
+        faces=jnp.asarray(np.asarray(model.faces)[order]))
+
+
 def eval_planes(px, py, planes, bbox, znear):
     """Evaluate plane-mode pair quantities on broadcastable pixel grids.
 

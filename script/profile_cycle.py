@@ -64,9 +64,7 @@ def main():
     model = make_synthetic_smpl()
     # production raster path: statically ordered faces (as bench.py
     # and the Predictor configure)
-    order = R.spatial_face_order(model.v_template, model.faces)
-    model = model.replace(
-        faces=jnp.asarray(np.asarray(model.faces)[order]))
+    model = R.preorder_faces(model)
     K = intrinsics_from_fov((side, side), 60.0)
     rng = np.random.RandomState(0)
 

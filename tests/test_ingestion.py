@@ -151,3 +151,36 @@ def test_smpl_imputation_fills_missing(seq_tree):
     valids = np.stack([out[t]["valid"][:, 0] for t in range(T)])
     assert (valids[2] >= 0.5).all()
     assert (valids != 0).all()
+
+
+def test_smpl_assignment_with_extra_detections(seq_tree):
+    """A frame carrying MORE SMPL/ROMP detections than tracked people
+    must not crash; the Hungarian match keeps the best N (reference
+    trims via smpl[key][order], datautils.py:247-361). Regression for
+    the batched-projection refactor, which assumed every frame had at
+    most N bodies."""
+    root, gt = seq_tree
+    from mhmocap_tpu.data.ingestion import assign_smpl_to_poses
+    T, N = 4, 2
+    rng = np.random.RandomState(1)
+    preds = []
+    for t in range(T):
+        count = 4 if t == 1 else N      # frame 1: two spurious bodies
+        preds.append({
+            "cam": np.tile(np.array([[1.0, 0, 0]], np.float32),
+                           (count, 1)),
+            "poses": rng.randn(count, 72).astype(np.float32) * 0.1,
+            "betas": np.zeros((count, 10), np.float32),
+        })
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 2] = 0.9
+    pose2d[..., 0] = np.linspace(30, 90, N)[None, :, None]
+    pose2d[..., 1] = 60
+
+    out, _ = assign_smpl_to_poses(preds, pose2d, (128, 128),
+                                  _joints_fn(gt["model"]))
+    for t in range(T):
+        assert out[t]["poses"].shape == (N, 72), t
+        assert out[t]["valid"].shape == (N, 1), t
+    valids = np.stack([out[t]["valid"][:, 0] for t in range(T)])
+    assert (valids > 0).all()
