@@ -123,14 +123,18 @@ def pose_error_3dproj(
     abs_root = np.zeros((T, K), np.float32)
     valid_root = np.zeros((T, K), np.float32)
 
+    # ONE batched projection for all frames (a per-frame device call
+    # costs ~dispatch latency each against the remote TPU backend)
+    pred3d_all = np.asarray(scale * joints + poses_T)    # (T, N, 15, 3)
+    pred2d_all = np.asarray(project_points(
+        pred3d_all.reshape(-1, 3)[None], cam_K,
+        dist_coef=Kd))[0].reshape(T, N, -1, 2)
+    pred2d_all = np.concatenate(
+        [pred2d_all, np.ones_like(pred2d_all[..., :1])], axis=-1)
+
     for t in range(T):
-        pred3d = scale[t] * joints[t] + poses_T[t]       # (N, 15, 3)
-        pred2d = np.asarray(project_points(
-            pred3d.reshape(-1, 3)[None], cam_K,
-            dist_coef=Kd))[0].reshape(N, -1, 2)
-        pred2d = np.concatenate(
-            [pred2d, np.ones_like(pred2d[..., :1])], axis=-1)
-        ref_idx, pred_idx = match_pose_sets(ref2d[t], pred2d)
+        pred3d = pred3d_all[t]                           # (N, 15, 3)
+        ref_idx, pred_idx = match_pose_sets(ref2d[t], pred2d_all[t])
 
         for k, (ri, pi) in enumerate(zip(ref_idx, pred_idx)):
             gt, pred = ref_poses3d[t, ri], pred3d[pi]
