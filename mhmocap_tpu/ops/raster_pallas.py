@@ -680,10 +680,12 @@ def rasterize_body_pallas(verts, faces, cam_K,
     through face_planes; only the pixel-streaming kernel carries a
     custom VJP (w.r.t. the plane coefficients)."""
     uvz = project_points(verts, cam_K, return_depth=True)
-    uv, z = uvz[..., :2], uvz[..., 2]
-    origin = window_origin(uv, z, settings)
-    fuv = uv[faces] - origin.astype(uv.dtype)
-    fz = z[faces]
+    origin = window_origin(uvz[..., :2], uvz[..., 2], settings)
+    # ONE fused (V, 3) row gather (separate uv/z gathers measured
+    # ~0.7 ms slower per 48 bodies incl. the scatter-add adjoint)
+    fuvz = uvz[faces]
+    fuv = fuvz[..., :2] - origin.astype(uvz.dtype)
+    fz = fuvz[..., 2]
     planes, bbox, ok_sil, ok_depth = face_planes(fuv, fz,
                                                  settings.znear)
     reach = 3.0 * float(np.sqrt(settings.sil_blur_px2)) + 1.0

@@ -145,6 +145,42 @@ def main():
             p, o[..., None], axis=1), planes, order,
            name="sorted gather (F,12) only")
 
+    if "packstatic" in args.variants:
+        from mhmocap_tpu.ops.rasterizer import face_planes, \
+            window_origin, spatial_face_order
+        from mhmocap_tpu.ops.cameras import project_points
+        import numpy as _np
+
+        order = spatial_face_order(
+            _np.zeros((int(jnp.max(faces)) + 1, 3)) if False else
+            _np.random.RandomState(0).randn(int(jnp.max(faces)) + 1, 3),
+            _np.asarray(faces))
+        faces_p = jnp.asarray(_np.asarray(faces)[order])
+
+        def pack_static(v):
+            uvz = project_points(v, K, return_depth=True)
+            uv, z = uvz[..., :2], uvz[..., 2]
+            origin = window_origin(uv, z, rs)
+            fuv = uv[faces_p] - origin.astype(uv.dtype)
+            planes, bbox, oks, okd = face_planes(fuv, z[faces_p],
+                                                 rs.znear)
+            reach = 3.0 * float(_np.sqrt(rs.sil_blur_px2)) + 1.0
+            mat, meta, agg = RP._pack_face_table_static(
+                planes, bbox, oks, okd, bbox[:, 2] - reach,
+                bbox[:, 3] + reach, reach)
+            lists, bounds = RP._strip_chunk_lists(agg, rs.window)
+            return mat, meta, lists, bounds
+
+        fn = jax.jit(lambda v: jax.vmap(pack_static)(v))
+        out = fn(verts)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(10):
+            out = fn(verts)
+        jax.block_until_ready(out)
+        print(f"{'pack static (no sort/gather)':34s} fwd "
+              f"{(time.time() - t0) / 10 * 1e3:8.2f} ms", flush=True)
+
     if "pack" in args.variants:
         from mhmocap_tpu.ops.rasterizer import face_planes, \
             window_origin
