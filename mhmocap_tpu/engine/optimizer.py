@@ -50,10 +50,7 @@ from ..ops.morphology import erode
 from ..ops.one_euro import one_euro_init, one_euro_step
 from ..ops.rasterizer import RasterSettings, rasterize_bodies
 from .scene import (ScenePointCloud, aggregate_scene_depth,
-                    build_scene_pointcloud, contact_targets,
-                    denormalize_disparity)
-
-_HI = jax.lax.Precision.HIGHEST
+                    build_scene_pointcloud, contact_targets)
 
 
 # ---------------------------------------------------------------------------
@@ -200,9 +197,15 @@ def prepare_seq_data(seq, cfg: EngineConfig) -> SeqData:
     frame_valid = np.zeros((tp,), np.float32)
     frame_valid[:cfg.num_frames] = 1.0
     seg_bool = _pad_t(seq.seg_mask > 0.5, tp)
-    seg_er = jax.jit(
-        lambda s: erode(s.astype(jnp.float32), kernel_size=3,
-                        iterations=2) > 0.5)(jnp.asarray(seg_bool))
+    # erode in chunk-sized frame blocks: eroding the whole (Tp, N, H,
+    # W) stack at once materializes f32 casts + conv intermediates
+    # ~10x the bool footprint, which can OOM prep for sequences whose
+    # optimization itself fits
+    seg_er = jax.jit(lambda s: lax.map(
+        lambda blk: erode(blk.astype(jnp.float32), kernel_size=3,
+                          iterations=2) > 0.5,
+        s.reshape((cfg.num_chunks, cfg.chunk) + s.shape[1:]),
+    ).reshape(s.shape))(jnp.asarray(seg_bool))
     return SeqData(
         depths=jnp.asarray(_pad_t(seq.depths.astype(np.float32), tp)),
         seg_mask=jnp.asarray(seg_bool),
@@ -250,7 +253,6 @@ def init_global_poses(
     poses_smpl: jax.Array,      # (T, N, 72)
     betas_smpl: jax.Array,      # (T, N, 10)
     cam_K: jax.Array,           # (3, 3)
-    image_size: Tuple[int, int],
     xscale: jax.Array,          # (1, N, 1, 1)
     dist_coef: Optional[jax.Array] = None,
     proj2d_coef: float = 1.0,
@@ -328,7 +330,7 @@ def init_params(
     poses_T, hist = init_global_poses(
         model, jnp.asarray(data_pose2d), jnp.asarray(data_poses_smpl),
         jnp.asarray(data_betas_smpl), jnp.asarray(cam_K),
-        cfg.image_size, xscale, dist_coef=kd, num_iter=num_iter)
+        xscale, dist_coef=kd, num_iter=num_iter)
     poses_T = np.asarray(poses_T)
 
     max_z = np.clip(np.max(poses_T[..., 2:], axis=1), 2, None)  # (T,1,1)

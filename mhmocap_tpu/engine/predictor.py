@@ -112,6 +112,10 @@ class Predictor:
             cam_dist_coef=(tuple(seq.cam["Kd"])
                            if seq.cam.get("Kd") is not None else None),
             preordered_faces=True,
+            # scale-reg accounting follows the USER batch size like the
+            # reference's per-DataLoader-batch term (chunk is a derived
+            # scan step and may differ under SPMD snapping)
+            batch_size_ref=int(getattr(parsed_args, "batch_size", 10)),
         )
         self.coefs = {
             "proj2d": parsed_args.proj2d_loss_coef,

@@ -189,14 +189,14 @@ def test_init_solve_uses_camera_distortion(tiny_smpl):
 
     sol, _ = E.init_global_poses(
         model, pose2d, jnp.zeros((T, N, 72)), jnp.zeros((T, N, 10)),
-        K, (side, side), jnp.zeros((1, N, 1, 1)), dist_coef=kd,
+        K, jnp.zeros((1, N, 1, 1)), dist_coef=kd,
         reg_velocity_coef=0.0, num_iter=150)
     err = float(jnp.max(jnp.abs(sol - true_T)))
     assert err < 0.05, err
 
     sol_naive, _ = E.init_global_poses(
         model, pose2d, jnp.zeros((T, N, 72)), jnp.zeros((T, N, 10)),
-        K, (side, side), jnp.zeros((1, N, 1, 1)), dist_coef=None,
+        K, jnp.zeros((1, N, 1, 1)), dist_coef=None,
         reg_velocity_coef=0.0, num_iter=150)
     err_naive = float(jnp.max(jnp.abs(sol_naive - true_T)))
     assert err_naive > 2 * err, (err, err_naive)

@@ -128,7 +128,9 @@ def test_spmd_multiple_steps_descend(spmd_problem):
     p = spmd_problem
     mesh = spmd.make_mesh()
     opt = E.make_stage1_optimizer()
-    params = spmd.shard_params(p["params"], mesh)
+    # copy: the donated cycle would delete the shared fixture buffers
+    params = spmd.shard_params(jax.tree.map(jnp.copy, p["params"]),
+                               mesh)
     data_s = spmd.shard_data(p["data"], mesh)
     aux_s = spmd.shard_aux(p["aux"], mesh)
     opt_state = opt.init(params)
@@ -139,3 +141,45 @@ def test_spmd_multiple_steps_descend(spmd_problem):
             p["cfg"], mesh)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_spmd_warm_aux_cycle_matches_single_device(spmd_problem):
+    """Post-warmup parity: with a REAL scene point cloud and filtered
+    vertex targets engaged (have_scene=1, have_filters=1), the sharded
+    cycle's contact/foot-sliding lax.cond branch and the filtered-verts
+    gradient through the ppermute halo must reproduce the single-device
+    update."""
+    p = spmd_problem
+    mesh = spmd.make_mesh()
+    opt = E.make_stage1_optimizer()
+
+    pcd = E.update_scene(p["params"], p["data"], p["cfg"])
+    dvf = E.update_filtered_targets(p["params"], p["model"], p["cfg"])
+    aux_w = p["aux"]._replace(scene=pcd, have_scene=jnp.ones(()),
+                              verts_filt_diff=dvf,
+                              have_filters=jnp.ones(()))
+    assert bool(jnp.any(pcd.valid)), "scene must be non-empty"
+
+    params_1, _, loss_1, parts_1 = E.stage1_cycle(
+        jax.tree.map(jnp.copy, p["params"]), opt.init(p["params"]),
+        p["model"], p["data"], aux_w, p["coefs"], p["cfg"])
+
+    params_s = spmd.shard_params(jax.tree.map(jnp.copy, p["params"]),
+                                 mesh)
+    data_s = spmd.shard_data(p["data"], mesh)
+    aux_s = spmd.shard_aux(aux_w, mesh)
+    params_8, _, loss_8, parts_8 = spmd.spmd_stage1_cycle(
+        params_s, opt.init(params_s), p["model"], data_s, aux_s,
+        p["coefs"], p["cfg"], mesh)
+
+    # the contact terms must actually be non-trivially engaged
+    np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(parts_8),
+                               np.asarray(parts_1), rtol=5e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_8.poses_T), np.asarray(params_1.poses_T),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_8.poses_smpl), np.asarray(params_1.poses_smpl),
+        atol=5e-5)
