@@ -70,6 +70,11 @@ def load_tracking_results(
 def merge_pose_streams(annot: Dict, new_annot: Dict) -> Dict:
     """Overwrite tracked poses with matched poses from a second
     detector stream (reference update_pose_results, alphapose.py:58-75).
+
+    Reference quirk reproduced: every Hungarian pair is applied
+    unconditionally — including sentinel-cost pairs with no mutually
+    visible joint (the reference applies all pairs from
+    linear_kpts_assignment the same way).
     """
     for img_key, frame in annot.items():
         if img_key not in new_annot:
@@ -113,6 +118,15 @@ def tracks_to_array(
       * leftover detections are Hungarian-matched to the last valid
         pose of each empty slot, accepted only inside a velocity-gated
         tracking region (3 * dt * |velocity|).
+
+    Reference quirks reproduced: (1) the time axis covers frames WITH
+    surviving detections only (reference T = len(images_set),
+    alphapose.py:149), and the final `pose2d[frame_ids]` slice indexes
+    it positionally — a frame with zero surviving detections would
+    shift the tail in BOTH implementations; (2) a slot whose velocity
+    EMA is zero (never matched, or fully decayed) has a zero-width
+    re-acquisition gate and can only be recovered through its track
+    id, exactly as in the reference's `3 * delta_t * |velocity|` test.
     """
     annot = {k: dict(v) for k, v in annot.items()}  # shallow copy
     images = sorted(annot.keys())

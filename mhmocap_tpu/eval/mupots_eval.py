@@ -95,15 +95,13 @@ def evaluate_mupots(
         ts_path = os.path.join(input_path, f"TS{ts_id}")
         with open(os.path.join(ts_path, "mupots_annot.pkl"), "rb") as f:
             annot = pickle.load(f)
-        with open(os.path.join(ts_path, "optvar_init.pkl"), "rb") as f:
-            optvar_init = pickle.load(f)
         with open(os.path.join(ts_path, "optvar_stage1.pkl"), "rb") as f:
             optvar_stage1 = pickle.load(f)
-
-        T = optvar_init["poses_smpl"].shape[0]
-        for ov in (optvar_init, optvar_stage1):
-            if ov["betas_smpl"].shape[0] == 1:
-                ov["betas_smpl"] = np.repeat(ov["betas_smpl"], T, axis=0)
+        # (The reference also loads optvar_init.pkl and computes its
+        # _univ metrics, but the recording loop is dead code —
+        # eval_mupots.py:167-168 assigns nkey and discards — so no
+        # init rows ever reach FinalResults; we skip the wasted work.
+        # Time-shared betas are broadcast inside pose_error_3dproj.)
 
         cam_K = cam_K_per_ts[ts_id]
 

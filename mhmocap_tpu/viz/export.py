@@ -124,28 +124,39 @@ def save_visualization_stage1(output_path, seq, model, stage1_optvar,
     scale = stage1_optvar["scale_factor"][0]
     T = len(seq)
 
+    # ONE batched SMPL forward + projection for all T frames (per-frame
+    # device dispatch costs ~a round trip each on the remote backend —
+    # same batching as data/ingestion.assign_smpl_to_poses)
+    N = stage1_optvar["poses_smpl"].shape[1]
+    betas_t = np.broadcast_to(stage1_optvar["betas_smpl"][:1],
+                              (T, N, 10))
+    verts_b, joints_b = _smpl_outputs(
+        model, betas_t.reshape(T * N, 10),
+        stage1_optvar["poses_smpl"].reshape(T * N, 72))
+    verts_b = verts_b.reshape(T, N, -1, 3)
+    joints_b = joints_b.reshape(T, N, -1, 3)
+    v3d_all = scale * verts_b + stage1_optvar["poses_T"]
+    j3d_all = scale * joints_b + stage1_optvar["poses_T"]
+    n_ov = min(T, max_overlays)
+    j2d_all = np.asarray(project_points(
+        jnp.asarray(j3d_all[:n_ov].reshape(-1, 3))[None],
+        jnp.asarray(K)))[0].reshape(n_ov, N, -1, 2)
+    v2d_all = np.asarray(project_points(
+        jnp.asarray(v3d_all[:n_ov].reshape(-1, 3))[None],
+        jnp.asarray(K)))[0].reshape(n_ov, N, -1, 2)
+
     verts_all = []
     depths = []
     for i in range(T):
-        poses_T = stage1_optvar["poses_T"][i]
         min_z = stage1_optvar["min_z"][i]
         max_z = stage1_optvar["max_z"][i]
         depth = 1.0 / (seq.depths[i] * (1.0 / min_z - 1.0 / max_z)
                        + 1.0 / max_z)
-        verts, joints = _smpl_outputs(
-            model, stage1_optvar["betas_smpl"][0],
-            stage1_optvar["poses_smpl"][i])
-        v3d = scale * verts + poses_T
-        j3d = scale * joints + poses_T
-        verts_all.append(v3d)
+        verts_all.append(v3d_all[i])
         depths.append(depth)
 
         if i < max_overlays:
-            N = len(j3d)
-            j2d = np.asarray(project_points(jnp.asarray(j3d),
-                                            jnp.asarray(K)))
-            v2d = np.asarray(project_points(jnp.asarray(v3d),
-                                            jnp.asarray(K)))
+            j2d, v2d = j2d_all[i], v2d_all[i]
             fig, axs = plt.subplots(1, 3, figsize=(24, 8))
             axs[0].imshow(seq.images[i])
             axs[1].imshow(seq.images[i])

@@ -166,3 +166,54 @@ def test_renderoption_json_is_valid():
         opt = json.load(f)
     assert opt["class_name"] == "RenderOption"
     assert "background_color" in opt and "point_size" in opt
+
+
+def test_save_visualization_stage1_outputs(tmp_path):
+    """The stage-1 export (reference predict.py:141-257): loss curves,
+    per-frame overlays, and the visualization pickle — with the SMPL
+    forward and projections batched over all frames."""
+    import types
+    from mhmocap_tpu.viz.export import save_visualization_stage1
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    from mhmocap_tpu.ops.cameras import intrinsics_from_fov
+    from mhmocap_tpu.engine import optimizer as E
+
+    T, N, side = 3, 2, 32
+    model = make_synthetic_smpl(num_vertices=256, seed=5)
+    rng = np.random.RandomState(0)
+    class _Seq(types.SimpleNamespace):
+        def __len__(self):
+            return T
+
+    seq = _Seq(
+        images=np.zeros((T, side, side, 3), np.uint8),
+        depths=np.clip(0.5 + 0.1 * rng.randn(T, side, side),
+                       0.05, 1).astype(np.float32),
+        backmasks=np.ones((T, side, side), np.float32),
+        cam_smpl=np.zeros((T, N, 3), np.float32),
+        valid_smpl=np.ones((T, N, 1), np.float32),
+        cam={"K": intrinsics_from_fov((side, side), 60.0),
+             "fov": 60.0, "Kd": None, "image_size": (side, side)},
+    )
+    optvar = {
+        "scale_factor": np.ones((1, N, 1, 1), np.float32),
+        "poses_T": np.tile([[[0.0, 0.3, 3.0]]], (T, N, 1))[
+            :, :, None].reshape(T, N, 1, 3).astype(np.float32),
+        "poses_smpl": np.zeros((T, N, 72), np.float32),
+        "betas_smpl": np.zeros((1, N, 10), np.float32),
+        "min_z": np.full((T, 1, 1), 2.0, np.float32),
+        "max_z": np.full((T, 1, 1), 8.0, np.float32),
+    }
+    pose2d = 16.0 * np.ones((T, N, 17, 3), np.float32)
+    log = [{k: 1.0 for k in E.LOG_KEYS} for _ in range(2)]
+
+    save_visualization_stage1(str(tmp_path), seq, model, optvar,
+                              pose2d, log, max_overlays=2)
+    assert (tmp_path / "fig_optim_curves_stage1.png").exists()
+    assert (tmp_path / "vis_stage1" / "vis_0000.png").exists()
+    import pickle
+    with open(tmp_path / "visualization_data_stage1.pkl", "rb") as f:
+        vd = pickle.load(f)
+    assert vd["verts"].shape == (T, N, 256, 3)
+    assert np.isfinite(vd["verts"]).all()
+    assert vd["depths"].shape == (T, side, side)
