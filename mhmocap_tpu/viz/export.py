@@ -62,17 +62,29 @@ def save_visualization_init_data(output_path, seq, model, init_optvar,
     K = seq.cam["K"]
     scale = init_optvar["scale_factor"][0]
 
-    for i in range(0, min(len(seq), max_frames)):
+    # batched SMPL forward + projections for the exported frames (one
+    # device call instead of 3 per frame; see save_visualization_stage1)
+    n_f = min(len(seq), max_frames)
+    N = init_optvar["poses_smpl"].shape[1]
+    betas_t = np.broadcast_to(init_optvar["betas_smpl"][:1],
+                              (n_f, N, 10))
+    verts_b, joints_b = _smpl_outputs(
+        model, betas_t.reshape(n_f * N, 10),
+        init_optvar["poses_smpl"][:n_f].reshape(n_f * N, 72))
+    v3d_all = (scale * verts_b.reshape(n_f, N, -1, 3)
+               + init_optvar["poses_T"][:n_f])
+    j3d_all = (scale * joints_b.reshape(n_f, N, -1, 3)
+               + init_optvar["poses_T"][:n_f])
+    v2d_all = np.asarray(project_points(
+        jnp.asarray(v3d_all.reshape(-1, 3))[None],
+        jnp.asarray(K)))[0].reshape(n_f, N, -1, 2)
+    j2d_all = np.asarray(project_points(
+        jnp.asarray(j3d_all.reshape(-1, 3))[None],
+        jnp.asarray(K)))[0].reshape(n_f, N, -1, 2)
+
+    for i in range(n_f):
         image = seq.images[i]
-        poses_T = init_optvar["poses_T"][i]
-        verts, joints = _smpl_outputs(
-            model, init_optvar["betas_smpl"][0],
-            init_optvar["poses_smpl"][i])
-        v3d = scale * verts + poses_T
-        j3d = scale * joints + poses_T
-        N = len(j3d)
-        v2d = np.asarray(project_points(jnp.asarray(v3d), jnp.asarray(K)))
-        j2d = np.asarray(project_points(jnp.asarray(j3d), jnp.asarray(K)))
+        v2d, j2d = v2d_all[i], j2d_all[i]
         ref2d = init_optvar["pose2d"][i]
 
         fig, axs = plt.subplots(1, 2, figsize=(16, 8))

@@ -210,6 +210,14 @@ def test_save_visualization_stage1_outputs(tmp_path):
     save_visualization_stage1(str(tmp_path), seq, model, optvar,
                               pose2d, log, max_overlays=2)
     assert (tmp_path / "fig_optim_curves_stage1.png").exists()
+
+    from mhmocap_tpu.viz.export import save_visualization_init_data
+    init_ov = dict(optvar)
+    init_ov["pose2d"] = pose2d
+    save_visualization_init_data(str(tmp_path), seq, model, init_ov,
+                                 [1.0, 0.5], max_frames=2)
+    assert (tmp_path / "fig_optim_curves_init.png").exists()
+    assert (tmp_path / "vis_init" / "vis_0000.png").exists()
     assert (tmp_path / "vis_stage1" / "vis_0000.png").exists()
     import pickle
     with open(tmp_path / "visualization_data_stage1.pkl", "rb") as f:
