@@ -160,18 +160,21 @@ def main():
     prep_j = jax.jit(lambda v: jax.vmap(prep_only)(v))
     timeit(prep_j, verts_abs, name="face-plane prep only")
 
-    # full chunk loss fwd / fwd+bwd
-    chunk = E._slice_chunk(params, data, aux, cfg, 0)
-    scale = E.scale_factor_of(params)
-
-    def chunk_loss(p):
-        ch = E._slice_chunk(p, data, aux, cfg, 0)
-        l, _ = E._chunk_loss_core(ch, model, p.betas, scale,
-                                  data.cam_K, aux, coefs, cfg)
+    # full chunk loss fwd / fwd+bwd. data/aux/model MUST be traced
+    # arguments: closing over them bakes the (Tp, N, V, 3) filter
+    # targets etc. into the HLO as literals, and at T=2048 the
+    # ~250 MB module blows the remote-compile tunnel's request limit
+    # (HTTP 413).
+    def chunk_loss(p, m, d, a):
+        ch = E._slice_chunk(p, d, a, cfg, 0)
+        l, _ = E._chunk_loss_core(ch, m, p.betas,
+                                  E.scale_factor_of(p),
+                                  d.cam_K, a, coefs, cfg)
         return l
 
-    timeit(jax.jit(chunk_loss), params, name="chunk loss fwd")
-    timeit(jax.jit(jax.grad(chunk_loss)), params,
+    timeit(jax.jit(chunk_loss), params, model, data, aux,
+           name="chunk loss fwd")
+    timeit(jax.jit(jax.grad(chunk_loss)), params, model, data, aux,
            name="chunk loss fwd+bwd")
 
     # full cycle
