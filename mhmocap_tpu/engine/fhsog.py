@@ -244,9 +244,15 @@ def build_fhsog_from_smpl(depths_metric, images, backmasks, verts,
     T, N = verts.shape[:2]
     H, W = depths_metric.shape[1:]
     D = num_depth_bins
-    assert H == W, "full-image raster expects square frames"
 
-    st = RasterSettings(image_size=(W, H), window=W)
+    # full-image raster: a square window covering the whole (possibly
+    # rectangular) frame — window_origin clamps to (0, 0) when the
+    # window is at least the image in both axes, and the out-of-frame
+    # strip of the square render is cropped right after the kernel
+    # (the reference's build_fhsog_from_smpl_2 takes arbitrary HxW,
+    # fhsog.py:252-256)
+    S = -(-max(H, W) // 8) * 8
+    st = RasterSettings(image_size=(W, H), window=S)
     backseg = ((backmasks > 0.5) & (depths_metric > near_z)
                & (depths_metric < far_z))
     log_span = float(np.log(far_z) - np.log(near_z))
@@ -260,7 +266,7 @@ def build_fhsog_from_smpl(depths_metric, images, backmasks, verts,
         fhsog_alpha, texture = carry
         v_t, depth_t, img_t, backseg_t = inp
         r = rasterize_bodies(v_t, faces, cam_K, st)
-        zb = r["zbuf"]                               # (N, H, W)
+        zb = r["zbuf"][:, :H, :W]                    # (N, H, W)
         zmask = jnp.isfinite(zb) & (zb > 0)
         zb_safe = jnp.where(zmask, zb, 0.0)
         smpl_mask = jnp.any(zmask, axis=0)           # (H, W)

@@ -86,6 +86,12 @@ class EngineConfig:
     warmup_cycles: int = 30              # scene/filters start cycle
     scene_update_every: int = 1
     cam_dist_coef: Optional[Tuple[float, ...]] = None
+    # Per-joint weights of the 2D losses (reference pose17j_weights,
+    # optimizer.py:108-130,259: normalized len*w/sum(w), applied inside
+    # the squared error of both the init solve :755 and stage-1 :419).
+    # None = the reference's all-ones default. Stored RAW; the use
+    # sites normalize (normalize_joint_weights).
+    pose17j_weights: Optional[Tuple[float, ...]] = None
     # The caller has permuted model.faces with
     # rasterizer.spatial_face_order (Predictor does); the Pallas
     # kernel then skips its per-call face argsort+gather.
@@ -168,6 +174,19 @@ class StageAux(NamedTuple):
     have_scene: jax.Array           # () 0/1
     verts_filt_diff: jax.Array      # (Tp, N, V, 3) bf16 targets
     have_filters: jax.Array         # () 0/1
+
+
+def normalize_joint_weights(w) -> np.ndarray:
+    """Reference joint-weight normalization: len(w) * w / sum(w)
+    (optimizer.py:104-105 and :128-129)."""
+    w = np.asarray(w, np.float32)
+    return w * (len(w) / np.sum(w))
+
+
+def _j17_weights(cfg: "EngineConfig") -> Optional[jax.Array]:
+    if cfg.pose17j_weights is None:
+        return None
+    return jnp.asarray(normalize_joint_weights(cfg.pose17j_weights))
 
 
 def default_coefs() -> Dict[str, float]:
@@ -259,11 +278,14 @@ def init_global_poses(
     reg_velocity_coef: float = 0.05,
     num_iter: int = 100,
     joints_thr: float = 0.15,
+    pose_weights: Optional[jax.Array] = None,   # (17,) normalized
 ):
     """Solve per-frame 3D root translations by minimizing weighted 2D
     reprojection with Adam(0.5, betas=(0.5, 0.5)) + exp(0.95) decay.
     `dist_coef` applies the camera's radial/tangential distortion to
     the projections (the reference passes Kd here, optimizer.py:752).
+    `pose_weights` multiplies each joint's error inside the square
+    (reference pose_weights at optimizer.py:755-756).
 
     The SMPL joints do not depend on poses_T, so (unlike the reference,
     which re-runs SMPL every iteration) the forward pass is hoisted out
@@ -278,6 +300,8 @@ def init_global_poses(
     joints = scale * joints                       # (T, N, 17, 3)
 
     vis = (pose2d[..., 2:] > joints_thr).astype(jnp.float32)
+    if pose_weights is not None:
+        vis = vis * pose_weights[None, None, :, None]
     gt2d = pose2d[..., 0:2]
 
     sched = optax.exponential_decay(0.5, 1, 0.95)
@@ -330,7 +354,8 @@ def init_params(
     poses_T, hist = init_global_poses(
         model, jnp.asarray(data_pose2d), jnp.asarray(data_poses_smpl),
         jnp.asarray(data_betas_smpl), jnp.asarray(cam_K),
-        xscale, dist_coef=kd, num_iter=num_iter)
+        xscale, dist_coef=kd, num_iter=num_iter,
+        pose_weights=_j17_weights(cfg))
     poses_T = np.asarray(poses_T)
 
     max_z = np.clip(np.max(poses_T[..., 2:], axis=1), 2, None)  # (T,1,1)
@@ -507,6 +532,11 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     proj = project_points(joints_abs, cam_K, dist_coef=kd)
     norm = jnp.asarray([W, H], jnp.float32)
     w2d = conf_ok * fv[..., None, None]
+    jw = _j17_weights(cfg)
+    if jw is not None:
+        # reference: mask = pose_weights * pose2d_thr_scores applied
+        # inside the squared error (optimizer.py:419-420 via :367-368)
+        w2d = w2d * jw[None, None, :, None]
     loss_pose = jnp.sum(jnp.square(w2d * (proj - pose2d_c[..., :2])
                                    / norm))
 
@@ -699,11 +729,8 @@ def stage1_cycle(params: StageParams, opt_state, model: SMPLModel,
     return params, opt_state, loss, parts
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def update_scene(params: StageParams, data: SeqData, cfg: EngineConfig):
-    """Rebuild the static scene point cloud from the current disparity
-    de-normalization (optimizer.py:578-584 + 605-616), fully on-device.
-    """
+def _update_scene_impl(params: StageParams, data: SeqData,
+                       cfg: EngineConfig):
     min_z, max_z = z_bounds_of(params, cfg)
     valid = data.backmask & (data.frame_valid[:, None, None] > 0.5)
     med, ok = aggregate_scene_depth(data.depths, valid, min_z, max_z)
@@ -713,16 +740,15 @@ def update_scene(params: StageParams, data: SeqData, cfg: EngineConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def update_filtered_targets(params: StageParams, model: SMPLModel,
-                            cfg: EngineConfig):
-    """One-Euro-filter the absolute vertex trajectories and return the
-    per-frame filtered differences (bf16) used by the smoothness term.
-
-    Matches the reference's every-25-cycles filtering of
-    scale*verts + poses_T with min_cutoff2/beta2 and its 'ramp' time
-    base (optimizer.py:383-392 + 664-675), computed chunk-by-chunk with
-    the filter state carried across chunk boundaries.
+def update_scene(params: StageParams, data: SeqData, cfg: EngineConfig):
+    """Rebuild the static scene point cloud from the current disparity
+    de-normalization (optimizer.py:578-584 + 605-616), fully on-device.
     """
+    return _update_scene_impl(params, data, cfg)
+
+
+def _update_filtered_targets_impl(params: StageParams,
+                                  model: SMPLModel, cfg: EngineConfig):
     C, N = cfg.chunk, cfg.num_people
     scale = scale_factor_of(params)
 
@@ -759,6 +785,70 @@ def update_filtered_targets(params: StageParams, model: SMPLModel,
     init = (one_euro_init(dummy), dummy)
     _, diffs = lax.scan(step_outer, init, jnp.arange(cfg.num_chunks))
     return diffs.reshape(cfg.padded_frames, N, -1, 3)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def update_filtered_targets(params: StageParams, model: SMPLModel,
+                            cfg: EngineConfig):
+    """One-Euro-filter the absolute vertex trajectories and return the
+    per-frame filtered differences (bf16) used by the smoothness term.
+
+    Matches the reference's every-25-cycles filtering of
+    scale*verts + poses_T with min_cutoff2/beta2 and its 'ramp' time
+    base (optimizer.py:383-392 + 664-675), computed chunk-by-chunk with
+    the filter state carried across chunk boundaries.
+    """
+    return _update_filtered_targets_impl(params, model, cfg)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "optimize_scale"),
+                   donate_argnums=(0, 1, 2))
+def stage1_cycle_fused(params: StageParams, opt_state, aux: StageAux,
+                       cycle_idx, model: SMPLModel, data: SeqData,
+                       coefs, cfg: EngineConfig,
+                       optimize_scale: bool = True):
+    """One PRODUCTION cycle as ONE device program: the conditional
+    scene rebuild (every `scene_update_every` cycles from
+    `warmup_cycles`, reference optimizer.py:578-584) and the
+    conditional One-Euro filtered-target refresh (every
+    `update_filters_every`, optimizer.py:383-392) run under `lax.cond`
+    inside the same program as the full-batch cycle update.
+
+    Dispatching the aux refreshes as separate jit calls cost two extra
+    program launches per cycle through the remote-TPU tunnel —
+    measured ~20% of the production cadence at TS1 scale; fusing makes
+    the steady-state loop exactly one dispatch per cycle and keeps the
+    aux state resident on device (donated and returned).
+    """
+    do_aux = cycle_idx >= cfg.warmup_cycles
+    do_scene = do_aux & (cycle_idx % cfg.scene_update_every == 0)
+    do_filt = do_aux & (cycle_idx % cfg.update_filters_every == 0)
+
+    scene = lax.cond(do_scene,
+                     lambda _: _update_scene_impl(params, data, cfg),
+                     lambda _: aux.scene, None)
+    dvf = lax.cond(do_filt,
+                   lambda _: _update_filtered_targets_impl(
+                       params, model, cfg),
+                   lambda _: aux.verts_filt_diff, None)
+    aux = aux._replace(
+        scene=scene,
+        have_scene=jnp.maximum(aux.have_scene,
+                               do_scene.astype(jnp.float32)),
+        verts_filt_diff=dvf,
+        have_filters=jnp.maximum(aux.have_filters,
+                                 do_filt.astype(jnp.float32)))
+
+    opt = make_stage1_optimizer()
+    (loss, parts), grads = jax.value_and_grad(
+        _cycle_loss, has_aux=True)(params, model, data, aux, coefs,
+                                   cfg)
+    if not optimize_scale:
+        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, aux, loss, parts
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -98,6 +98,15 @@ class Predictor:
             # back to one chip).
             chunk = 1 << max(chunk.bit_length() - 1, 1)
             bucket = int(np.lcm(chunk * n_dev, user_bucket or 64))
+            if user_bucket and bucket > 2 * user_bucket:
+                import warnings
+                warnings.warn(
+                    f"frame_bucket {user_bucket} inflated to its lcm "
+                    f"{bucket} with devices*chunk = {n_dev * chunk} "
+                    f"(> 2x): sequences pad (and compile) at multiples "
+                    f"of {bucket} frames. Pick a frame_bucket that is "
+                    f"a multiple of {n_dev * chunk} to avoid the "
+                    f"memory/compile surprise.", RuntimeWarning)
         else:
             bucket = user_bucket or 64
         self.cfg = E.EngineConfig(
@@ -116,7 +125,15 @@ class Predictor:
             # reference's per-DataLoader-batch term (chunk is a derived
             # scan step and may differ under SPMD snapping)
             batch_size_ref=int(getattr(parsed_args, "batch_size", 10)),
+            pose17j_weights=self._joint_weights(parsed_args,
+                                                "pose17j_weights"),
         )
+        # Accepted for config-surface parity but never applied, exactly
+        # like the reference: pose24j_weights is normalized and stored
+        # (optimizer.py:104-106) yet only pose17j becomes the active
+        # pose_weights (optimizer.py:259).
+        self.pose24j_weights = self._joint_weights(parsed_args,
+                                                   "pose24j_weights")
         self.coefs = {
             "proj2d": parsed_args.proj2d_loss_coef,
             "depth": parsed_args.depth_loss_coef,
@@ -128,6 +145,14 @@ class Predictor:
             "reg_contact": parsed_args.reg_contact_coef,
             "reg_foot_sliding": parsed_args.reg_foot_sliding_coef,
         }
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _joint_weights(parsed_args, name):
+        w = getattr(parsed_args, name, None)
+        if w is None:
+            return None
+        return tuple(float(x) for x in w)
 
     # ------------------------------------------------------------------
     def _sized_window(self, seq: SequenceArrays, parsed_args) -> int:
@@ -211,6 +236,13 @@ class Predictor:
         t2 = time.time()
         stage1_optvar = E.get_optimized_variables(
             params, cfg, seq.valid_smpl, scene=scene_host)
+        # auditable raster-window record (beyond the reference's
+        # schema; readers that iterate known keys are unaffected): the
+        # crop-window guard reports at init time only via stdout, so a
+        # sweep needs the clip rate in the artifact to audit clipped
+        # depth/silhouette supervision after the fact
+        stage1_optvar["raster_window"] = cfg.window
+        stage1_optvar["window_clip_rate"] = self.window_clip_rate
         with open(os.path.join(self.output_path, "optvar_stage1.pkl"),
                   "wb") as f:
             pickle.dump(stage1_optvar, f)
@@ -283,22 +315,37 @@ class Predictor:
                 print(f"resumed from checkpoint at cycle {latest}")
 
         profile_dir = getattr(self.args, "profile_dir", None)
+        # steady-state cadence instrumentation (bench.py): block at
+        # cycle lo and cycle hi and record the wall time of cycles
+        # [lo, hi) — the only two sync points this adds
+        bench_cycles = getattr(self.args, "bench_cycles", None)
+        t_bench = None
 
-        log = []
+        parts_log = []
+        loss = None
         t_start = time.time()
         for cycle in range(start_cycle, self.num_iter):
-            if (cycle >= cfg.warmup_cycles
-                    and cycle % cfg.update_filters_every == 0):
-                dvf = E.update_filtered_targets(params, model, cfg)
-                aux = aux._replace(verts_filt_diff=dvf,
-                                   have_filters=jnp.ones(()))
-            if (cycle >= cfg.warmup_cycles
-                    and cycle % cfg.scene_update_every == 0):
-                pcd = E.update_scene(params, data, cfg)
-                aux = aux._replace(scene=pcd, have_scene=jnp.ones(()))
-            if mesh is not None and cycle >= cfg.warmup_cycles:
-                from ..parallel import spmd as S
-                aux = S.shard_aux(aux, mesh)
+            if bench_cycles is not None and loss is not None:
+                if cycle == bench_cycles[0]:
+                    jax.block_until_ready(loss)
+                    t_bench = time.time()
+                elif cycle == bench_cycles[1]:
+                    jax.block_until_ready(loss)
+                    self.bench_seconds = time.time() - t_bench
+            if mesh is not None:
+                if (cycle >= cfg.warmup_cycles
+                        and cycle % cfg.update_filters_every == 0):
+                    dvf = E.update_filtered_targets(params, model, cfg)
+                    aux = aux._replace(verts_filt_diff=dvf,
+                                       have_filters=jnp.ones(()))
+                if (cycle >= cfg.warmup_cycles
+                        and cycle % cfg.scene_update_every == 0):
+                    pcd = E.update_scene(params, data, cfg)
+                    aux = aux._replace(scene=pcd,
+                                       have_scene=jnp.ones(()))
+                if cycle >= cfg.warmup_cycles:
+                    from ..parallel import spmd as S
+                    aux = S.shard_aux(aux, mesh)
 
             if profile_dir and cycle == 2:
                 jax.profiler.start_trace(profile_dir)
@@ -308,16 +355,25 @@ class Predictor:
                     params, opt_state, model, data, aux, self.coefs,
                     cfg, mesh, optimize_scale=optimize_scale)
             else:
-                params, opt_state, loss, parts = E.stage1_cycle(
-                    params, opt_state, model, data, aux, self.coefs,
-                    cfg, optimize_scale=optimize_scale)
+                # single device: ONE program per cycle — the scene /
+                # filtered-target refreshes run under lax.cond inside
+                # the cycle program (E.stage1_cycle_fused docstring)
+                params, opt_state, aux, loss, parts = \
+                    E.stage1_cycle_fused(
+                        params, opt_state, aux, jnp.uint32(cycle),
+                        model, data, self.coefs, cfg,
+                        optimize_scale=optimize_scale)
             if profile_dir and cycle == 2:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
                 print("profiler trace written to", profile_dir)
 
-            parts = np.asarray(parts)
-            log.append(dict(zip(E.LOG_KEYS, parts.tolist())))
+            # keep the per-cycle loss parts ON DEVICE: fetching them
+            # here forced a full device sync through the remote tunnel
+            # every cycle (~measured 15% of the production cadence);
+            # the host now runs ahead and queues cycles, bounded by
+            # the periodic verbose print's float(loss) sync
+            parts_log.append(parts)
             if ckpt_mgr is not None and (cycle + 1) % ckpt_every == 0:
                 _save_checkpoint(ckpt_mgr, cycle, params, opt_state)
             if verbose and (cycle % 25 == 0 or cycle == self.num_iter - 1):
@@ -326,6 +382,9 @@ class Predictor:
 
         if ckpt_mgr is not None:
             ckpt_mgr.wait_until_finished()
+        log = [dict(zip(E.LOG_KEYS, row))
+               for row in np.asarray(jnp.stack(parts_log)).tolist()
+               ] if parts_log else []
         self._params = params
         scene_host = self._final_scene(params, data, aux)
         return log, scene_host

@@ -365,7 +365,11 @@ class SceneHumansVisualizer(BaseVisualizer):
         self.curr_frame = (self.curr_frame + 1) % self.max_frames
         if self.verbose:
             print(f"frame {self.curr_frame}")
-        if self.capture_rendered_color or self.capture_rendered_depth:
+        # inside run(), the Open3D buffer capture in next_frame is the
+        # one that matches the reference (:264,:181-203); the headless
+        # splat capture would double-write interleaved image indices
+        if ((self.capture_rendered_color or self.capture_rendered_depth)
+                and not getattr(self, "_in_o3d_run", False)):
             self.capture_frame()
         return self.curr_frame
 
@@ -421,6 +425,7 @@ class SceneHumansVisualizer(BaseVisualizer):
             raise RuntimeError(
                 "Open3D is not installed; use export() for headless "
                 "artifacts")
+        self._in_o3d_run = True
         pts, cols = self._scene_of(0)
         pcd = o3d.geometry.PointCloud()
         pcd.points = o3d.utility.Vector3dVector(pts)
@@ -587,7 +592,8 @@ class SkeletonVisualizer(BaseVisualizer):
 
     def step(self):
         self.curr_frame = (self.curr_frame + 1) % self.max_frames
-        if self.capture_rendered_color:
+        if (self.capture_rendered_color
+                and not getattr(self, "_in_o3d_run", False)):
             self.capture_frame()
         return self.curr_frame
 
@@ -618,6 +624,7 @@ class SkeletonVisualizer(BaseVisualizer):
             raise RuntimeError(
                 "Open3D is not installed; use export() for headless "
                 "artifacts")
+        self._in_o3d_run = True
         spheres, lines = [], []
         for p, l, color in self.frames[0]:
             ls = o3d.geometry.LineSet()

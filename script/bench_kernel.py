@@ -245,21 +245,33 @@ def main():
               f"|g_brute|={np.linalg.norm(gb):.2f} "
               f"max|dg|={np.abs(gp - gb).max():.3e}", flush=True)
 
+    # snapshot the module defaults so each variant starts from the
+    # SHIPPED configuration (restoring hard-coded values here once
+    # made cross-variant numbers non-comparable: the first variant ran
+    # the vpu default while later ones inherited mxu + the previous
+    # variant's FACE_CHUNK)
+    defaults = {k: getattr(RP, k) for k in
+                ("FACE_CHUNK", "X_SKIP", "EVAL_MODE",
+                 "MATMUL_PRECISION")}
     for variant in args.variants.split(","):
-        if variant in ("pack", "packparts", "check"):
+        if variant in ("pack", "packparts", "packstatic", "check"):
             continue
         if variant.startswith("fc"):
             RP.FACE_CHUNK = int(variant[2:])
         if variant == "nocond":
             RP.X_SKIP = False
         if variant == "lowprec":
+            RP.EVAL_MODE = "mxu"
             RP.MATMUL_PRECISION = None
+        if variant == "mxu":
+            RP.EVAL_MODE = "mxu"
         if variant == "vpu":
             RP.EVAL_MODE = "vpu"
-        bench_variant(variant, verts, faces, K, rs)
-        RP.X_SKIP = True
-        RP.EVAL_MODE = "mxu"
-        RP.MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+        try:
+            bench_variant(variant, verts, faces, K, rs)
+        finally:
+            for k, v in defaults.items():
+                setattr(RP, k, v)
 
 
 if __name__ == "__main__":

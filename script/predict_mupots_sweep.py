@@ -145,7 +145,27 @@ def main():
     print(f"sweep: {len(results) - len(failed)}/{len(results)} ok in "
           f"{time.time() - t0:.0f}s"
           + (f"; FAILED: {sorted(failed)}" if failed else ""))
+    audit_windows(args.output_path, ts_ids)
     sys.exit(1 if failed else 0)
+
+
+def audit_windows(output_path: str, ts_ids):
+    """Post-run audit: surface each sequence's raster window and
+    residual supervision clip rate from the stage-1 artifacts (the
+    window guard otherwise reports only via stdout at init)."""
+    import pickle
+    for ts in ts_ids:
+        pkl = os.path.join(output_path, f"TS{ts}", "optvar_stage1.pkl")
+        if not os.path.exists(pkl):
+            continue
+        with open(pkl, "rb") as f:
+            ov = pickle.load(f)
+        win = ov.get("raster_window")
+        clip = ov.get("window_clip_rate")
+        if win is not None:
+            flag = " !" if (clip or 0) > 0 else ""
+            print(f"TS{ts}: raster_window={win} "
+                  f"clip_rate={100 * (clip or 0):.2f}%{flag}")
 
 
 if __name__ == "__main__":

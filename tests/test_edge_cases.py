@@ -46,10 +46,12 @@ def _run(num_frames, num_people):
     assert np.isfinite(ov["poses_smpl"]).all()
 
 
+@pytest.mark.slow
 def test_single_person():
     _run(num_frames=4, num_people=1)
 
 
+@pytest.mark.slow
 def test_single_frame():
     """num_frames=1: the reference documents that temporal losses are
     skipped (optimizer.py:175-177); here the pair-validity masks make

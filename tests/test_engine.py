@@ -93,6 +93,7 @@ def _make_seq_data(p, params):
     return E.prepare_seq_data(seq, cfg)
 
 
+@pytest.mark.slow
 def test_stage1_cycle_runs_and_descends(tiny_problem):
     p = tiny_problem
     cfg = p["cfg"]
@@ -118,6 +119,7 @@ def test_stage1_cycle_runs_and_descends(tiny_problem):
     assert np.isfinite(np.asarray(parts)).all()
 
 
+@pytest.mark.slow
 def test_scene_update_and_contact_terms(tiny_problem):
     p = tiny_problem
     cfg = p["cfg"]
@@ -179,3 +181,59 @@ def test_get_optimized_variables_schema(tiny_problem):
     assert (out["max_z"] > out["min_z"]).all()
     for k in ("scene_depth", "scene_img", "scene_mask"):
         assert k in out
+
+
+@pytest.mark.slow
+def test_fused_cycle_matches_separate_updates(tiny_problem):
+    """stage1_cycle_fused (one program per production cycle) must
+    reproduce the separate update_scene + update_filtered_targets +
+    stage1_cycle sequence exactly, and skip the refreshes before
+    warmup_cycles."""
+    p = tiny_problem
+    cfg = p["cfg"]
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=20)
+    data = _make_seq_data(p, params)
+    aux0 = E.init_aux(cfg, p["model"].num_vertices,
+                      jnp.asarray(p["betas"][:1].mean(0, keepdims=True)))
+    coefs = E.default_coefs()
+    opt = E.make_stage1_optimizer()
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+
+    # separate path at a cycle where BOTH refreshes fire (50 >= 30,
+    # 50 % 25 == 0, scene every cycle)
+    pcd = E.update_scene(params, data, cfg)
+    dvf = E.update_filtered_targets(params, p["model"], cfg)
+    aux_sep = aux0._replace(scene=pcd, have_scene=jnp.ones(()),
+                            verts_filt_diff=dvf,
+                            have_filters=jnp.ones(()))
+    p1, _, l1, parts1 = E.stage1_cycle(
+        copy(params), opt.init(params), p["model"], data, aux_sep,
+        coefs, cfg)
+
+    p2, _, aux2, l2, parts2 = E.stage1_cycle_fused(
+        copy(params), opt.init(params), copy(aux0), jnp.uint32(50),
+        p["model"], data, coefs, cfg)
+    assert float(aux2.have_scene) == 1.0
+    assert float(aux2.have_filters) == 1.0
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(parts2), np.asarray(parts1),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p2.poses_T),
+                               np.asarray(p1.poses_T), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(aux2.scene.depth),
+                               np.asarray(pcd.depth), atol=1e-6)
+
+    # warmup cycle: no refresh fires, cycle equals the bare one
+    p3, _, l3, parts3 = E.stage1_cycle(
+        copy(params), opt.init(params), p["model"], data, aux0,
+        coefs, cfg)
+    p4, _, aux4, l4, _ = E.stage1_cycle_fused(
+        copy(params), opt.init(params), copy(aux0), jnp.uint32(0),
+        p["model"], data, coefs, cfg)
+    assert float(aux4.have_scene) == 0.0
+    assert float(aux4.have_filters) == 0.0
+    np.testing.assert_allclose(float(l4), float(l3), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p4.poses_T),
+                               np.asarray(p3.poses_T), atol=1e-7)

@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from scipy.ndimage import distance_transform_edt as scipy_edt
 
@@ -95,6 +96,7 @@ def test_build_fhs_occupancy_grid_shapes(rng):
     assert (np.diff(fogn, axis=0) >= 0).all()
 
 
+@pytest.mark.slow
 def test_build_fhsog_from_smpl(rng):
     """SMPL-conditioned FHSOG (reference fhsog.py:234-296): mass
     accumulates only in background cells away from the rendered
@@ -127,4 +129,36 @@ def test_build_fhsog_from_smpl(rng):
     # no fog mass on person pixels (GDF zeroed at/inside features)
     person_all = masks.all(axis=0)
     assert fogn[:, person_all].sum() == 0.0
+    assert float(jnp.sum(fog)) > 0.0
+
+
+@pytest.mark.slow
+def test_build_fhsog_from_smpl_rectangular(rng):
+    """Non-square frames (reference build_fhsog_from_smpl_2 accepts
+    arbitrary HxW, fhsog.py:252-256): the square raster window is
+    cropped back to the frame."""
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+    from mhmocap_tpu.models.smpl import smpl_forward
+    from mhmocap_tpu.ops.cameras import intrinsics_from_fov
+
+    T, N, H, W, D = 1, 1, 48, 64, 8
+    model = make_synthetic_smpl(num_vertices=512, seed=4)
+    K = jnp.asarray(intrinsics_from_fov((W, H), 60.0))
+    out = smpl_forward(model, jnp.zeros((T * N, 10)),
+                       jnp.zeros((T * N, 72)),
+                       transl=jnp.tile(jnp.asarray([[0.0, 0.2, 3.0]]),
+                                       (T * N, 1)))
+    verts = out["verts"].reshape(T, N, -1, 3)
+    depths = np.full((T, H, W), 6.0, np.float32)
+    images = (255 * rng.rand(T, H, W, 3)).astype(np.float32)
+    back = np.ones((T, H, W), np.float32)
+
+    fog, tex, outmask, smpl_masks, gdfs = F.build_fhsog_from_smpl(
+        jnp.asarray(depths), jnp.asarray(images), jnp.asarray(back),
+        verts, model.faces, K, near_z=1.0, far_z=16.0,
+        num_depth_bins=D)
+    assert fog.shape == (D, H, W)
+    assert tex.shape == (H, W, 3)
+    assert smpl_masks.shape == (T, H, W)
+    assert np.asarray(smpl_masks).any(), "person must rasterize"
     assert float(jnp.sum(fog)) > 0.0

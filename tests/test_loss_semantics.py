@@ -273,3 +273,73 @@ def test_filtered_verts_regularizer(setup):
     expected = N * V * 3 * dvf01 ** 2  # only pair t=1 contributes
     np.testing.assert_allclose(parts["reg_filter_verts"], expected,
                                rtol=2e-2)
+
+
+def test_pose2d_joint_weights(setup):
+    """pose17j_weights multiply each joint's error inside the square
+    (reference optimizer.py:367-368 + 419-420: the MSE mask is
+    pose_weights * conf); all-ones weights normalize to exactly 1 and
+    reproduce the unweighted loss."""
+    import dataclasses
+
+    cfg = setup["cfg"]
+    C, N = cfg.chunk, cfg.num_people
+    W = cfg.image_size[0]
+    _, joints, _ = _render(setup)
+    uv = np.asarray(project_points(jnp.asarray(joints),
+                                   jnp.asarray(setup["K"])))
+    gt = uv + 2.0
+    conf = np.ones((C, N, 17, 1), np.float32)
+    pose2d = np.concatenate([gt, conf], axis=-1).astype(np.float32)
+    seg = np.zeros((C, N, W, W), np.float32)
+    depths = np.full((C, W, W), 0.5, np.float32)
+    coefs = _zero_coefs() | {"proj2d": 1.0}
+
+    base, parts0 = _run_core(setup, _chunk(setup, seg, depths, pose2d),
+                             coefs)
+
+    ones = dict(setup, cfg=dataclasses.replace(
+        cfg, pose17j_weights=(1.0,) * 17))
+    _, parts1 = _run_core(ones, _chunk(ones, seg, depths, pose2d),
+                          coefs)
+    np.testing.assert_allclose(parts1["loss_pose24j"],
+                               parts0["loss_pose24j"], rtol=1e-6)
+
+    w_raw = np.arange(1.0, 18.0, dtype=np.float32)
+    wt = dict(setup, cfg=dataclasses.replace(
+        cfg, pose17j_weights=tuple(float(x) for x in w_raw)))
+    _, parts2 = _run_core(wt, _chunk(wt, seg, depths, pose2d), coefs)
+    w = E.normalize_joint_weights(w_raw)
+    # constant 2px error in u and v at every joint: each joint's
+    # contribution scales by its squared normalized weight
+    expected = C * N * float(np.sum(w ** 2)) * 2 * (2.0 / W) ** 2
+    np.testing.assert_allclose(parts2["loss_pose24j"], expected,
+                               rtol=1e-4)
+
+
+def test_init_solve_joint_weights(setup):
+    """init_global_poses with all-ones weights is bit-identical to
+    None (reference normalization len*w/sum == 1), and non-uniform
+    weights change the solve."""
+    model = setup["model"]
+    T, N = 3, 1
+    K = jnp.asarray(setup["K"])
+    rng = np.random.RandomState(7)
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 0] = 24 + 2 * rng.randn(T, N, 17)
+    pose2d[..., 1] = 24 + 2 * rng.randn(T, N, 17)
+    pose2d[..., 2] = 0.9
+    args = (model, jnp.asarray(pose2d), jnp.zeros((T, N, 72)),
+            jnp.zeros((T, N, 10)), K, jnp.zeros((1, N, 1, 1)))
+
+    sol_none, _ = E.init_global_poses(*args, num_iter=20)
+    sol_ones, _ = E.init_global_poses(
+        *args, num_iter=20, pose_weights=jnp.ones((17,)))
+    np.testing.assert_array_equal(np.asarray(sol_none),
+                                  np.asarray(sol_ones))
+
+    w = jnp.asarray(E.normalize_joint_weights(np.arange(1.0, 18.0)))
+    sol_w, hist = E.init_global_poses(*args, num_iter=20,
+                                      pose_weights=w)
+    assert np.isfinite(np.asarray(sol_w)).all()
+    assert float(np.abs(np.asarray(sol_w) - np.asarray(sol_none)).max()) > 0

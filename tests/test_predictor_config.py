@@ -7,6 +7,7 @@ import types
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from mhmocap_tpu.engine import optimizer as E
 from mhmocap_tpu.engine.predictor import Predictor
@@ -81,6 +82,7 @@ def test_spmd_engages_for_every_mupots_length(tiny_smpl, tmp_path):
         assert p.cfg.padded_frames - T < p.cfg.frame_bucket + p.cfg.chunk
 
 
+@pytest.mark.slow
 def test_predictor_fit_shards_over_mesh(tmp_path, capsys):
     """Predictor.run must actually engage the SPMD path on the
     8-device mesh (round-1 regression: it silently fell back to one
@@ -112,6 +114,13 @@ def test_predictor_fit_shards_over_mesh(tmp_path, capsys):
     ov = out["stage1_optvar"]
     assert np.isfinite(ov["poses_T"]).all()
     assert np.isfinite(ov["poses_smpl"]).all()
+    # window audit fields persist in the artifact (round-2 weak #4:
+    # the clip rate was print-only)
+    import pickle
+    with open(tmp_path / "optvar_stage1.pkl", "rb") as f:
+        on_disk = pickle.load(f)
+    assert on_disk["raster_window"] == 16
+    assert 0.0 <= on_disk["window_clip_rate"] <= 1.0
 
 
 def test_window_guard_grows_for_large_person(tiny_smpl, tmp_path):
@@ -202,6 +211,7 @@ def test_init_solve_uses_camera_distortion(tiny_smpl):
     assert err_naive > 2 * err, (err, err_naive)
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_mid_stage(tmp_path, capsys):
     """Orbax checkpoint/resume (beyond the reference, survey §5): a
     second Predictor pointed at the same output_path must resume from
@@ -234,3 +244,40 @@ def test_checkpoint_resume_mid_stage(tmp_path, capsys):
     assert len(out2["stage1_log"]) == 2        # cycles 2 and 3 only
     pt = out2["stage1_optvar"]["poses_T"]
     assert np.isfinite(np.asarray(pt)).all()
+
+
+def test_joint_weight_knobs_plumb_through(tiny_smpl, tmp_path):
+    """Reference pose17j/pose24j_weights knobs (optimizer.py:77-130):
+    17j reaches the engine config (raw; engine normalizes at use),
+    24j is accepted and stored but never applied — exactly like the
+    reference, which normalizes both but only uses pose17j (:259)."""
+    w17 = [float(i) for i in range(1, 18)]
+    p = Predictor(_tiny_seq(), tiny_smpl, str(tmp_path),
+                  _default_args(pose17j_weights=w17,
+                                pose24j_weights=[1.0] * 24))
+    assert p.cfg.pose17j_weights == tuple(w17)
+    assert p.pose24j_weights == tuple([1.0] * 24)
+    # default: no weighting configured
+    p2 = Predictor(_tiny_seq(), tiny_smpl, str(tmp_path),
+                   _default_args())
+    assert p2.cfg.pose17j_weights is None
+
+
+def test_frame_bucket_lcm_inflation_warns(tiny_smpl, tmp_path):
+    """A user frame_bucket that is coprime-ish with devices*chunk
+    silently inflated padding via the lcm (e.g. 100 -> 1600 with
+    8 devices x chunk 8); that must warn."""
+    import warnings as W
+
+    import pytest
+
+    with pytest.warns(RuntimeWarning, match="inflated"):
+        Predictor(_tiny_seq(T=201, side=16), tiny_smpl, str(tmp_path),
+                  _default_args(frame_bucket=100))
+
+    # a well-aligned bucket stays silent
+    with W.catch_warnings():
+        W.simplefilter("error", RuntimeWarning)
+        p = Predictor(_tiny_seq(T=201, side=16), tiny_smpl,
+                      str(tmp_path), _default_args(frame_bucket=128))
+    assert p.cfg.frame_bucket == 128

@@ -24,6 +24,7 @@ def _tri_mesh():
     return verts, faces
 
 
+@pytest.mark.slow
 def test_pallas_matches_brute_triangles():
     verts, faces = _tri_mesh()
     st = R.RasterSettings(image_size=(64, 64), window=64,
@@ -90,6 +91,7 @@ def test_pallas_gradients_match_brute():
     assert 0.5 < np.linalg.norm(gp) / max(np.linalg.norm(gr), 1e-9) < 2.0
 
 
+@pytest.mark.slow
 def test_pallas_gradient_descends_silhouette():
     """One gradient step must reduce a silhouette alignment loss."""
     model = make_synthetic_smpl(num_vertices=512, seed=2)
@@ -118,6 +120,7 @@ def test_pallas_gradient_descends_silhouette():
     assert float(l1) < float(l0)
 
 
+@pytest.mark.slow
 def test_pallas_preordered_matches_dynamic():
     """The static-order mode (spatial_face_order + preordered=True)
     must match the band-sorted mode bit-for-bit on zbuf/coverage and
@@ -159,6 +162,7 @@ def test_pallas_preordered_matches_dynamic():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_strip_chunk_lists_cover_all_overlaps():
     """Property: every chunk whose reach-expanded bbox overlaps a
     (strip, x-block) cell must appear in that cell's [lo, hi) slice of

@@ -1,6 +1,7 @@
 """Rasterizer tests against a brute-force numpy golden rasterizer."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -203,6 +204,7 @@ def test_segment_mode_close_to_edge_lines():
     assert diff.mean() < 0.002
 
 
+@pytest.mark.slow
 def test_batched_raster_shapes():
     verts, faces = _tri_mesh()
     batch = jnp.stack([jnp.asarray(verts)] * 3)

@@ -153,6 +153,7 @@ def test_smpl_forward_jit_and_grad(tiny_smpl):
     np.testing.assert_allclose(np.asarray(g[:, 66:]), 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_smpl_forward_vmap_over_frames(tiny_smpl):
     T, N = 3, 2
     poses = jnp.zeros((T, N, 72))

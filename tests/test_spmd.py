@@ -96,6 +96,7 @@ def test_spmd_loss_matches_single_device(spmd_problem):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmd_cycle_step_matches_single_device(spmd_problem):
     p = spmd_problem
     mesh = spmd.make_mesh()
@@ -124,6 +125,7 @@ def test_spmd_cycle_step_matches_single_device(spmd_problem):
     assert params_8.poses_T.sharding.spec == spmd._params_specs().poses_T
 
 
+@pytest.mark.slow
 def test_spmd_multiple_steps_descend(spmd_problem):
     p = spmd_problem
     mesh = spmd.make_mesh()
@@ -143,6 +145,7 @@ def test_spmd_multiple_steps_descend(spmd_problem):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_spmd_warm_aux_cycle_matches_single_device(spmd_problem):
     """Post-warmup parity: with a REAL scene point cloud and filtered
     vertex targets engaged (have_scene=1, have_filters=1), the sharded

@@ -1,0 +1,126 @@
+"""Production-shape SPMD parity (round-2 verdict: don't validate the
+sharded cycle only on the 32x32 toy).
+
+Shapes follow the MuPoTs production TIME structure: T=201 real frames
+padded to 256, chunk 8, 8 devices x 4 local chunks, a padding tail
+inside the last device, a 128 px raster window. The body model is
+small (V=128) to keep the interpret-mode Pallas raster tractable on
+the CPU mesh — the structural hazards being tested (multi-chunk
+scans per device, halo exchange across devices AND across local
+chunks, padded-frame gating at the sequence tail, guard-sized window)
+do not depend on vertex count.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mhmocap_tpu.engine import optimizer as E
+from mhmocap_tpu.parallel import spmd
+from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+from mhmocap_tpu.models.smpl import smpl_forward
+from mhmocap_tpu.ops.cameras import project_points, intrinsics_from_fov
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def prod_problem():
+    model = make_synthetic_smpl(num_vertices=128, seed=6)
+    T, N = 201, 2
+    W = H = 128
+    K = intrinsics_from_fov((W, H), 60.0)
+    rng = np.random.RandomState(0)
+
+    poses_smpl = 0.05 * rng.randn(T, N, 72).astype(np.float32)
+    betas = np.zeros((T, N, 10), np.float32)
+    poses_T_gt = np.zeros((T, N, 1, 3), np.float32)
+    poses_T_gt[:, :, 0, 2] = np.linspace(3.0, 4.0, N)[None]
+    poses_T_gt[:, :, 0, 0] = np.linspace(-0.5, 0.5, N)[None]
+    out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
+                       jnp.asarray(poses_smpl.reshape(-1, 72)))
+    j3d = np.asarray(out["joints_alphapose"]).reshape(T, N, 17, 3) \
+        + poses_T_gt
+    uv = np.asarray(project_points(jnp.asarray(j3d), jnp.asarray(K)))
+    pose2d = np.concatenate(
+        [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
+
+    # chunk 8 x 8 devices, bucket 64: T=201 pads to 256 -> 4 local
+    # chunks per device, 55 padded frames in the tail
+    cfg = E.EngineConfig(image_size=(W, H), num_people=N, num_frames=T,
+                         chunk=8, window=128, face_chunk=128,
+                         frame_bucket=64)
+    assert cfg.padded_frames == 256
+    params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
+                                 cfg, num_iter=10)
+
+    from mhmocap_tpu.data.ingestion import SequenceArrays
+    seg = np.zeros((T, N, H, W), np.float32)
+    seg[:, 0, 30:100, 20:60] = 1
+    seg[:, 1, 30:100, 70:110] = 1
+    seq = SequenceArrays(
+        images=np.zeros((T, H, W, 3), np.uint8),
+        depths=np.clip(0.5 + 0.1 * rng.randn(T, H, W), 0, 1).astype(
+            np.float32),
+        instances=np.zeros((T, H, W), np.uint8),
+        seg_mask=seg,
+        backmasks=1.0 - seg.max(axis=1),
+        pose2d=pose2d,
+        cam_smpl=np.zeros((T, N, 3), np.float32),
+        poses_smpl=poses_smpl,
+        betas_smpl=betas,
+        valid_smpl=np.ones((T, N, 1), np.float32),
+        frame_ids=np.arange(T),
+        cam={"K": K, "fov": 60.0, "Kd": None, "image_size": (W, H)},
+    )
+    data = E.prepare_seq_data(seq, cfg)
+    # warm aux: scene + filtered targets engaged, like the production
+    # steady state past cycle 30
+    aux = E.init_aux(cfg, model.num_vertices,
+                     jnp.asarray(betas[:1].mean(0, keepdims=True)))
+    pcd = E.update_scene(params, data, cfg)
+    dvf = E.update_filtered_targets(params, model, cfg)
+    aux = aux._replace(scene=pcd, have_scene=jnp.ones(()),
+                       verts_filt_diff=dvf, have_filters=jnp.ones(()))
+    return dict(model=model, cfg=cfg, params=params, data=data,
+                aux=aux, coefs=E.default_coefs())
+
+
+@pytest.mark.slow
+def test_spmd_production_shape_cycle_matches_single_device(
+        prod_problem):
+    p = prod_problem
+    mesh = spmd.make_mesh()
+    opt = E.make_stage1_optimizer()
+
+    params_1, _, loss_1, parts_1 = E.stage1_cycle(
+        jax.tree.map(jnp.copy, p["params"]), opt.init(p["params"]),
+        p["model"], p["data"], p["aux"], p["coefs"], p["cfg"])
+
+    params_s = spmd.shard_params(jax.tree.map(jnp.copy, p["params"]),
+                                 mesh)
+    data_s = spmd.shard_data(p["data"], mesh)
+    aux_s = spmd.shard_aux(p["aux"], mesh)
+    params_8, _, loss_8, parts_8 = spmd.spmd_stage1_cycle(
+        params_s, opt.init(params_s), p["model"], data_s, aux_s,
+        p["coefs"], p["cfg"], mesh)
+
+    np.testing.assert_allclose(float(loss_8), float(loss_1), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(parts_8),
+                               np.asarray(parts_1), rtol=5e-3,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_8.poses_T), np.asarray(params_1.poses_T),
+        atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_8.poses_smpl),
+        np.asarray(params_1.poses_smpl), atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(params_8.betas), np.asarray(params_1.betas),
+        atol=5e-5)
+    # padded tail frames received no update on either path
+    T = p["cfg"].num_frames
+    np.testing.assert_array_equal(
+        np.asarray(params_8.poses_T)[T:],
+        np.asarray(p["params"].poses_T)[T:])

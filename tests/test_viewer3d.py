@@ -168,6 +168,7 @@ def test_renderoption_json_is_valid():
     assert "background_color" in opt and "point_size" in opt
 
 
+@pytest.mark.slow
 def test_save_visualization_stage1_outputs(tmp_path):
     """The stage-1 export (reference predict.py:141-257): loss curves,
     per-frame overlays, and the visualization pickle — with the SMPL
