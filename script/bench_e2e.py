@@ -80,7 +80,10 @@ def main():
         reg_scales_coef=1e-4, reg_velocity_coef=0.05,
         reg_verts_filter_coef=0.002, reg_contact_coef=0.001,
         reg_foot_sliding_coef=0.01, joint_confidence_thr=0.5,
-        raster_window=128, spmd=False)
+        raster_window=128, spmd=False,
+        # steady-state cadence window: one full filter-refresh period
+        # past the scene/contact warmup boundary
+        bench_cycles=(30, 55) if args.cycles > 55 else None)
     t0 = time.time()
     p = Predictor(seq, model, tempfile.mkdtemp(), pa)
     out = p.run()
@@ -93,6 +96,11 @@ def main():
     print(f"e2e: generate {t_gen:.0f}s  ingest {t_ingest:.0f}s  "
           f"fit+init {t_fit:.0f}s  "
           f"TOTAL {total:.0f}s ({total / 60:.1f} min) incl. compiles")
+    if getattr(p, "bench_seconds", None) is not None:
+        per_cycle = p.bench_seconds / 25
+        print(f"e2e: steady-state cycle {per_cycle * 1e3:.0f}ms -> "
+              f"{args.frames / per_cycle:.0f} frame-cycles/s "
+              f"(cycles [30, 55))")
     print(f"e2e: loss first/last = {log[0]['loss_pose24j']:.2f} / "
           f"{log[-1]['loss_pose24j']:.2f}")
 

@@ -49,6 +49,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None)
     ap.add_argument("--T", type=int, default=64)
+    ap.add_argument("--win", type=int, default=128)
+    ap.add_argument("--chunk", type=int, default=16)
     args = ap.parse_args()
 
     from mhmocap_tpu.engine import optimizer as E
@@ -71,7 +73,7 @@ def main():
     poses_smpl = 0.1 * rng.randn(T, N, 72).astype(np.float32)
     betas = np.zeros((T, N, 10), np.float32)
     poses_T = np.zeros((T, N, 1, 3), np.float32)
-    poses_T[:, :, 0, 2] = np.linspace(3.0, 5.0, N)[None]
+    poses_T[:, :, 0, 2] = np.linspace(3.4, 5.0, N)[None]
     poses_T[:, :, 0, 0] = np.linspace(-0.8, 0.8, N)[None]
     out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
                        jnp.asarray(poses_smpl.reshape(-1, 72)))
@@ -82,7 +84,7 @@ def main():
         [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
 
     cfg = E.EngineConfig(image_size=(side, side), num_people=N,
-                         num_frames=T, chunk=16, window=128,
+                         num_frames=T, chunk=args.chunk, window=args.win,
                          face_chunk=128, preordered_faces=True)
     params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
                                  cfg, num_iter=5)
