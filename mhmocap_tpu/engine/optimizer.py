@@ -409,11 +409,21 @@ def _smpl_bodies(model, params_chunk_poses, betas, scale, poses_T):
 
 
 def _gather_windows(imgs, origins, win):
-    """imgs: (C, N, H, W) [or broadcastable], origins: (C, N, 2) ->
+    """imgs: (C, N, H, W), origins: (C, N, 2) ->
     (C, N, win, win) crops."""
     def one(img, o):
         return lax.dynamic_slice(img, (o[1], o[0]), (win, win))
     return jax.vmap(jax.vmap(one))(imgs, origins)
+
+
+def _gather_windows_shared(img_c, origins, win):
+    """Per-frame image shared by all people: img_c (C, H, W),
+    origins (C, N, 2) -> (C, N, win, win) crops, WITHOUT materializing
+    the (C, N, H, W) broadcast first."""
+    def one(img, o):
+        return lax.dynamic_slice(img, (o[1], o[0]), (win, win))
+    return jax.vmap(lambda img, os: jax.vmap(
+        lambda o: one(img, o))(os))(img_c, origins)
 
 
 # ---------------------------------------------------------------------------
@@ -552,9 +562,7 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     # --- depth loss (optimizer.py:425-442) ---
     target_disp = (depths_c * (1.0 / min_z_c - 1.0 / max_z_c)
                    + 1.0 / max_z_c)               # (C, H, W)
-    target_win = _gather_windows(
-        jnp.broadcast_to(target_disp[:, None], (C, N, H, W)), origins,
-        win)
+    target_win = _gather_windows_shared(target_disp, origins, win)
     seg_er_win = _gather_windows(chunk.seg_er_c, origins, win)
 
     zbuf_valid = jnp.isfinite(zbuf)
@@ -571,18 +579,22 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
 
     # --- occlusion-ordered silhouette loss (optimizer.py:447-477) ---
     # acc_mask for person p = union of seg masks of people closer than
-    # p in this frame (z order of poses_T); built by a cumulative-OR in
-    # sorted order, then unsorted. Data-only (no gradient), so the
-    # whole-image part reduces to two mask sums.
-    z_order = jnp.argsort(poses_T_h[1:, :, 0, 2], axis=1)   # (C, N)
-    seg_sorted = jnp.take_along_axis(
-        seg_c, z_order[:, :, None, None], axis=1)
-    closer = jnp.cumsum(seg_sorted, axis=1) - seg_sorted
-    acc_sorted = (closer > 0).astype(jnp.float32)
-    inv_order = jnp.argsort(z_order, axis=1)
-    acc = jnp.take_along_axis(acc_sorted, inv_order[:, :, None, None],
-                              axis=1)             # (C, N, H, W)
-    keep = 1.0 - acc
+    # p in this frame (z order of poses_T). Data-only (no gradient).
+    # Computed PAIRWISE: closer[c, p, q] = person q in front of person
+    # p (z tiebreak by index, matching a stable sort) — at N <= ~10
+    # one (C, N, N) @ (C, N, HW) einsum beats the reference-shaped
+    # sort + cumulative-OR + unsort, which moved the (C, N, H, W)
+    # stack through two take_along_axis gathers (TPU gathers are HBM
+    # round trips).
+    z = poses_T_h[1:, :, 0, 2]                    # (C, N)
+    idx = jnp.arange(N)
+    in_front = ((z[:, None, :] < z[:, :, None])
+                | ((z[:, None, :] == z[:, :, None])
+                   & (idx[None, None, :] < idx[None, :, None])))
+    closer = jnp.einsum(
+        "cpq,cqx->cpx", in_front.astype(jnp.float32),
+        seg_c.reshape(C, N, -1)).reshape(C, N, H, W)
+    keep = 1.0 - (closer > 0).astype(jnp.float32)
     n_keep = jnp.sum(keep, axis=(2, 3)) + 1.0     # (C, N)
     keep_win = _gather_windows(keep, origins, win)
     seg_win = _gather_windows(seg_c, origins, win)

@@ -102,17 +102,35 @@ MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 # keeps its MXU matmul (PT @ G is K=128, where the MXU wins).
 EVAL_MODE = "vpu"
 
+# Precision of the backward dC = P^T @ G accumulation (K = npx per
+# cell). The backend default (single-pass bf16) quantizes the pixel
+# coordinates in P^T and the per-pair cotangents in G to 8 mantissa
+# bits; autodiff through face_planes then AMPLIFIES the d_planes error
+# on near-degenerate slivers (huge inv-area factors) — the same
+# mechanism as the forward MXU bug. Measured against the exact-f32
+# brute backend on a real body at win=160 (docs/PERF.md round 3):
+# bf16 max|dg| = 11.4 with up to 4.4x relative error on O(1) vertex-
+# gradient components (and a 6.8% gradient-norm error on a 48-body
+# batch); HIGHEST (multi-pass f32) matches brute to 1.9e-3 max
+# relative at +5.6% raster fwd+bwd cost (36.1 -> 38.2 ms / 48
+# bodies). Correctness wins: HIGHEST.
+BWD_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def _interpret() -> bool:
     """Run in interpreter mode off-TPU (CPU tests)."""
     return jax.default_backend() != "tpu"
 
 
+X_CELL_MIN = 16      # narrowest x-cell width (microbenchmark knob)
+
+
 def _n_xb(win: int) -> int:
-    """x-blocks per strip: the narrowest cell width >= 16 px that
-    divides the window (measured optimum ~16 px cells at win=128; the
+    """x-blocks per strip: the narrowest cell width >= X_CELL_MIN px
+    that divides the window (measured optimum ~16 px cells at win=128
+    and win=160; 32 px cells were ~2x worse, see docs/PERF.md; the
     window is always a multiple of 8 but not necessarily of 16)."""
-    for w in range(16, win + 1):
+    for w in range(X_CELL_MIN, win + 1):
         if win % w == 0:
             return win // w
     return 1
@@ -315,17 +333,21 @@ def _cell_active(agg_ref, ch, x_lo, x_hi, y_lo, y_hi):
             & (agg_ref[ch, AGG_YHI] >= y_lo))
 
 
-def _chunk_planes(mat_ref, meta_ref, P, base, px, py):
+def _chunk_planes(mat_ref, meta_ref, P, base, px, py, need_z=True):
     """Evaluate one chunk: edge/z planes on the MXU or the VPU plus
     the VPU bbox Chebyshev clamp (validity is pre-folded into the
-    coefficients — no flag tests)."""
+    coefficients — no flag tests). need_z=False (backward kernel)
+    skips the z-plane evaluation on the VPU path: the backward routes
+    the depth cotangent purely by the saved `amin` winner ids and
+    never reads the interpolated z value."""
     if EVAL_MODE == "vpu":
         def plane(b):
             sl = pl.ds(NPLANES * base + b * FACE_CHUNK, FACE_CHUNK)
             return (px * mat_ref[0, sl][None, :]
                     + py * mat_ref[1, sl][None, :]
                     + mat_ref[2, sl][None, :])
-        d0, d1, d2, zi = plane(0), plane(1), plane(2), plane(3)
+        d0, d1, d2 = plane(0), plane(1), plane(2)
+        zi = plane(3) if need_z else None
     else:
         C = mat_ref[:, pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)]
         D = jax.lax.dot_general(P, C, (((1,), (0,)), ((), ())),
@@ -512,7 +534,8 @@ def _bwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
 
         def do_chunk(_):
             d0, d1, d2, _, d = _chunk_planes(mat_ref, meta_ref, P,
-                                             base, px, py)
+                                             base, px, py,
+                                             need_z=False)
             absd = jnp.abs(d)
 
             # silhouette branch: dls/dd = sigmoid(-d|d|/blur) * 2|d|/blur
@@ -535,7 +558,8 @@ def _bwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
 
             G = jnp.concatenate([g0, g1, g2, gz], axis=1)
             dC = jax.lax.dot_general(PT, G, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
+                                     preferred_element_type=jnp.float32,
+                                     precision=BWD_MATMUL_PRECISION)
             sl = pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)
             dmat_ref[:, sl] += dC
             return 0

@@ -196,7 +196,7 @@ def spatial_face_order(v_template, faces,
     return np.lexsort((x, b)).astype(np.int32)
 
 
-def preorder_faces(model):
+def preorder_faces(model, band: float = 0.05):
     """Return a copy of `model` with faces permuted by
     `spatial_face_order`, ready for `RasterSettings.preordered=True`
     (the Predictor, bench, and driver entries all use this).
@@ -208,7 +208,8 @@ def preorder_faces(model):
     remap them with the returned permutation's inverse.
     """
     import jax.numpy as jnp
-    order = spatial_face_order(model.v_template, model.faces)
+    order = spatial_face_order(model.v_template, model.faces,
+                               band=band)
     return model.replace(
         faces=jnp.asarray(np.asarray(model.faces)[order]))
 
