@@ -107,8 +107,25 @@ class Predictor:
                     f"of {bucket} frames. Pick a frame_bucket that is "
                     f"a multiple of {n_dev * chunk} to avoid the "
                     f"memory/compile surprise.", RuntimeWarning)
+        elif user_bucket:
+            bucket = user_bucket
         else:
-            bucket = user_bucket or 64
+            # Single device: chunk is ONLY the scan step (the loss
+            # sums over all frames either way), so tune it for the
+            # cycle cadence instead of inheriting the reference's
+            # batch_size: a TPU chunk sweep at TS1 scale
+            # (docs/PERF.md round 3) showed ~6 scan steps/cycle beats
+            # 21 steps by ~6% (per-step fixed costs), and a tight
+            # padded length beats bucket-64 padding. Pick the chunk in
+            # [16, 48] that minimizes the padded length, preferring
+            # fewer steps on ties; padded lands within 4% of T.
+            # (Different sequence lengths then compile per-length —
+            # they already did at bucket granularity — and the
+            # persistent compile cache holds across runs.)
+            T_real = int(seq.num_frames)
+            cands = range(2, 9) if T_real < 32 else range(16, 49)
+            chunk = min(cands, key=lambda c: (-(-T_real // c) * c, -c))
+            bucket = chunk
         self.cfg = E.EngineConfig(
             image_size=(W, H),
             num_people=seq.num_people,
@@ -332,28 +349,19 @@ class Predictor:
                 elif cycle == bench_cycles[1]:
                     jax.block_until_ready(loss)
                     self.bench_seconds = time.time() - t_bench
-            if mesh is not None:
-                if (cycle >= cfg.warmup_cycles
-                        and cycle % cfg.update_filters_every == 0):
-                    dvf = E.update_filtered_targets(params, model, cfg)
-                    aux = aux._replace(verts_filt_diff=dvf,
-                                       have_filters=jnp.ones(()))
-                if (cycle >= cfg.warmup_cycles
-                        and cycle % cfg.scene_update_every == 0):
-                    pcd = E.update_scene(params, data, cfg)
-                    aux = aux._replace(scene=pcd,
-                                       have_scene=jnp.ones(()))
-                if cycle >= cfg.warmup_cycles:
-                    from ..parallel import spmd as S
-                    aux = S.shard_aux(aux, mesh)
-
             if profile_dir and cycle == 2:
                 jax.profiler.start_trace(profile_dir)
             if mesh is not None:
+                # ONE sharded program per cycle: aux refreshes run
+                # under lax.cond inside the sharded cycle program
+                # (spmd.spmd_stage1_cycle_fused), mirroring the
+                # single-device fused path below
                 from ..parallel import spmd as S
-                params, opt_state, loss, parts = S.spmd_stage1_cycle(
-                    params, opt_state, model, data, aux, self.coefs,
-                    cfg, mesh, optimize_scale=optimize_scale)
+                params, opt_state, aux, loss, parts = \
+                    S.spmd_stage1_cycle_fused(
+                        params, opt_state, aux, jnp.uint32(cycle),
+                        model, data, self.coefs, cfg, mesh,
+                        optimize_scale=optimize_scale)
             else:
                 # single device: ONE program per cycle — the scene /
                 # filtered-target refreshes run under lax.cond inside

@@ -102,7 +102,7 @@ MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 # keeps its MXU matmul (PT @ G is K=128, where the MXU wins).
 EVAL_MODE = "vpu"
 
-# Precision of the backward dC = P^T @ G accumulation (K = npx per
+# Accumulation scheme of the backward dC = P^T @ G (K = npx per
 # cell). The backend default (single-pass bf16) quantizes the pixel
 # coordinates in P^T and the per-pair cotangents in G to 8 mantissa
 # bits; autodiff through face_planes then AMPLIFIES the d_planes error
@@ -111,10 +111,21 @@ EVAL_MODE = "vpu"
 # brute backend on a real body at win=160 (docs/PERF.md round 3):
 # bf16 max|dg| = 11.4 with up to 4.4x relative error on O(1) vertex-
 # gradient components (and a 6.8% gradient-norm error on a 48-body
-# batch); HIGHEST (multi-pass f32) matches brute to 1.9e-3 max
-# relative at +5.6% raster fwd+bwd cost (36.1 -> 38.2 ms / 48
-# bodies). Correctness wins: HIGHEST.
-BWD_MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+# batch); "highest" (multi-pass f32, 6 MXU passes) matches brute to
+# 1.9e-3 max relative at +5.6% raster fwd+bwd cost.
+#
+# "split" exploits the cell geometry to get f32-exact results from
+# TWO plain bf16 passes: CELL-RELATIVE pixel coordinates (k + 0.5,
+# k < cell width 16-32 px / strip height 8 px) are exactly
+# representable in bf16, so P^T carries no quantization at all once
+# rebased to the cell origin; G alone is split G = hi + lo (the lo
+# residual, ~2^-9|G|, is itself bf16-exact to ~2^-18|G|), giving
+#   dC_rel = P_rel^T @ hi + P_rel^T @ lo            (2 bf16 passes)
+#   dC     = dC_rel + [x0; y0; 0] * dC_rel[2]       (VPU rebase)
+# with ~2^-18 relative error — BETTER than "highest" at a third of
+# the passes. Modes kept for A/B: "split" (default) | "highest" |
+# "bf16" (script/bench_kernel.py).
+BWD_MATMUL_MODE = "split"
 
 
 def _interpret() -> bool:
@@ -518,6 +529,10 @@ def _bwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
     x_hi = x_lo + xw
     y_lo = (s * STRIP_H).astype(jnp.float32)
     y_hi = y_lo + STRIP_H
+    # cell-relative pixel matrix: coords in [0.5, xw-0.5] x [0.5, 7.5]
+    # are EXACT in bf16 (<= 8 significant bits) — see BWD_MATMUL_MODE
+    PT_rel = _pixel_matrix(px - x_lo, py - y_lo, npx).T.astype(
+        jnp.bfloat16)
     lane = jax.lax.broadcasted_iota(jnp.int32, (npx, FACE_CHUNK), 1)
 
     @pl.when((s == 0) & (xb == 0))
@@ -557,9 +572,29 @@ def _bwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
             gz = jnp.where(amin == base + lane, dz, 0.0)
 
             G = jnp.concatenate([g0, g1, g2, gz], axis=1)
-            dC = jax.lax.dot_general(PT, G, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=BWD_MATMUL_PRECISION)
+            if BWD_MATMUL_MODE == "split":
+                # two bf16 passes, f32-exact: see BWD_MATMUL_MODE
+                G_hi = G.astype(jnp.bfloat16)
+                G_lo = (G - G_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+                dot = lambda g: jax.lax.dot_general(
+                    PT_rel, g, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dC_rel = dot(G_hi) + dot(G_lo)
+                # rebase dc0/dc1 from cell-relative to absolute pixel
+                # coords: d = c0*(x'+x0) + c1*(y'+y0) + c2
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, dC_rel.shape, 0)
+                orig = (jnp.where(row == 0, x_lo, 0.0)
+                        + jnp.where(row == 1, y_lo, 0.0))
+                dC = dC_rel + orig * dC_rel[2:3, :]
+            else:
+                prec = (jax.lax.Precision.HIGHEST
+                        if BWD_MATMUL_MODE == "highest"
+                        else jax.lax.Precision.DEFAULT)
+                dC = jax.lax.dot_general(
+                    PT, G, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
             sl = pl.ds(NPLANES * base, NPLANES * FACE_CHUNK)
             dmat_ref[:, sl] += dC
             return 0

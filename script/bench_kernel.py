@@ -252,7 +252,7 @@ def main():
     # variant's FACE_CHUNK)
     defaults = {k: getattr(RP, k) for k in
                 ("FACE_CHUNK", "X_SKIP", "EVAL_MODE",
-                 "MATMUL_PRECISION")}
+                 "MATMUL_PRECISION", "BWD_MATMUL_MODE")}
     for variant in args.variants.split(","):
         if variant in ("pack", "packparts", "packstatic", "check"):
             continue
@@ -267,6 +267,8 @@ def main():
             RP.EVAL_MODE = "mxu"
         if variant == "vpu":
             RP.EVAL_MODE = "vpu"
+        if variant.startswith("bwd"):
+            RP.BWD_MATMUL_MODE = variant[3:]   # split | highest | bf16
         try:
             bench_variant(variant, verts, faces, K, rs)
         finally:
