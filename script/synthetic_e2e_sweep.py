@@ -1,0 +1,145 @@
+"""Self-contained synthetic end-to-end accuracy sweep.
+
+Generates N synthetic MuPoTs-format sequence trees (full 6890-vertex
+body, GT annot.mat/occlusion.mat/intrinsics.txt in the reference's
+on-disk layout), runs each through the REAL production stack —
+`mhmocap_tpu.predict_mupots` (ingestion, init solve, stage-1 cycles)
+via the chip-pinned sweep runner — then `mhmocap_tpu.eval_mupots`,
+and prints the averaged FinalResults metrics as one JSON line.
+
+This is the in-tree, reproducible version of the PARITY.md §4
+evidence run (the container has no real MuPoTs data or
+SMPL_NEUTRAL.pkl; the prediction subprocesses fall back to the SAME
+deterministic synthetic body the generator used, so GT and model
+agree). Expected on one v5e chip at the defaults: pck_rel ~99,
+~5 min warm-cache.
+
+Usage:
+    python script/synthetic_e2e_sweep.py [--workdir /tmp/mupots_synth]
+        [--num_seqs 5] [--frames 60] [--num_iter 100] [--workers 1]
+        [--platform tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+
+def make_config(path, data_path, num_iter):
+    import yaml
+    cfg = {
+        "ARGS": {
+            "batch_size": 10,
+            "resize_factor": 1.0,
+            "erode_segmentation_iters": 0,
+            "erode_backmask_iters": 0,
+            "renormalize_depth": False,
+            "post_process_depth": False,
+            "num_iter": num_iter,
+            "proj2d_loss_coef": 1.0,
+            "depth_loss_coef": 0.05,
+            "silhouette_loss_coef": 0.1,
+            "reg_poses_coef": 0.002,
+            "reg_scales_coef": 0.0001,
+            "reg_velocity_coef": 0.05,
+            "reg_verts_filter_coef": 0.002,
+            "reg_contact_coef": 0.001,
+            "reg_foot_sliding_coef": 0.01,
+            "save_visualizations": False,
+            "raster_window": 128,
+        },
+        "smpl": {"smpl_model_parameters_path": "/nonexistent-synthetic"},
+        "data": {
+            "data_path": data_path,
+            "depth_path": "DPT_large_monodepth",
+            "joint_confidence_thr": 0.5,
+            "use_hrnet_pose": False,
+            "start_frame": 0,
+            "end_frame": -1,
+            "step_frame": 1,
+        },
+    }
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/mupots_synth")
+    ap.add_argument("--num_seqs", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--num_iter", type=int, default=100)
+    ap.add_argument("--workers", type=int, default=1)
+    ap.add_argument("--platform", default="tpu",
+                    choices=["tpu", "cpu"])
+    ap.add_argument("--skip_generate", action="store_true",
+                    help="reuse existing trees under --workdir")
+    args = ap.parse_args()
+
+    data_path = os.path.join(args.workdir, "data")
+    out_path = os.path.join(args.workdir, "out")
+    log_dir = os.path.join(args.workdir, "logs")
+    os.makedirs(data_path, exist_ok=True)
+
+    ts_ids = list(range(1, args.num_seqs + 1))
+
+    if not args.skip_generate:
+        from mhmocap_tpu.data.synthetic import generate_sequence
+        from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+        # the DEFAULT full-size synthetic body: the prediction
+        # subprocesses resolve the same model via the
+        # /nonexistent-synthetic fallback, so GT and fit agree
+        model = make_synthetic_smpl()
+        for i in ts_ids:
+            generate_sequence(
+                os.path.join(data_path, f"TS{i}"),
+                num_frames=args.frames,
+                num_people=3 if i % 2 else 2,
+                image_size=(256, 256), model=model, seed=7 + i,
+                mupots_gt=True)
+            print(f"generated TS{i}", flush=True)
+
+    cfg_path = make_config(os.path.join(args.workdir, "predict.yml"),
+                           data_path, args.num_iter)
+
+    from predict_mupots_sweep import build_commands, run_sweep
+    cmds = build_commands(ts_ids, cfg_path, out_path)
+    results = run_sweep(cmds, workers=args.workers,
+                        platform=args.platform, log_dir=log_dir,
+                        labels=[f"TS{i}" for i in ts_ids])
+    if any(rc != 0 for rc in results.values()):
+        print(json.dumps({"error": "sweep failures", **results}))
+        sys.exit(1)
+
+    from mhmocap_tpu import eval_mupots as EM
+    EM.main(["--configs_yml", cfg_path, "--input_path", out_path])
+
+    with open(os.path.join(out_path, "FinalResults.json")) as f:
+        final = json.load(f)["final_results"]
+    # each metric's list is [TS1..TSn, instance-weighted Avg.]
+    print(json.dumps({
+        "metric": "synthetic_e2e_sweep",
+        "sequences": args.num_seqs,
+        "frames": args.frames,
+        "num_iter": args.num_iter,
+        "avg": {k: v[-1] for k, v in final.items()},
+        "per_ts": {k: v[:-1] for k, v in final.items()
+                   if k in ("pck_rel", "mm_rel_error")},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -263,6 +263,27 @@ def test_joint_weight_knobs_plumb_through(tiny_smpl, tmp_path):
     assert p2.cfg.pose17j_weights is None
 
 
+def test_single_device_auto_chunk(tiny_smpl, tmp_path):
+    """Without SPMD and without a user frame_bucket, the Predictor
+    tunes the scan chunk for the cycle cadence: the chunk in [16, 48]
+    minimizing padded length, fewer steps on ties (TS1 scale T=201 ->
+    7 steps of 29 at padded 203; docs/PERF.md round 3)."""
+    seq = _tiny_seq(T=201)
+    p = Predictor(seq, tiny_smpl, str(tmp_path),
+                  _default_args(spmd=False))
+    assert p.cfg.chunk == 29
+    assert p.cfg.padded_frames == 203
+    assert p.cfg.num_chunks == 7
+    # an explicit user frame_bucket still wins (chunk then follows
+    # the reference's batch_size as before)
+    p2 = Predictor(seq, tiny_smpl, str(tmp_path),
+                   _default_args(spmd=False, frame_bucket=64))
+    assert p2.cfg.frame_bucket == 64
+    assert p2.cfg.chunk == 10
+    # scale-reg accounting follows the reference batch size in both
+    assert p.cfg.batch_size_ref == p2.cfg.batch_size_ref == 10
+
+
 def test_frame_bucket_lcm_inflation_warns(tiny_smpl, tmp_path):
     """A user frame_bucket that is coprime-ish with devices*chunk
     silently inflated padding via the lcm (e.g. 100 -> 1600 with
