@@ -37,7 +37,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
 
-def make_config(path, data_path, num_iter):
+def make_config(path, data_path, num_iter, raster_window=128):
     import yaml
     cfg = {
         "ARGS": {
@@ -58,7 +58,7 @@ def make_config(path, data_path, num_iter):
             "reg_contact_coef": 0.001,
             "reg_foot_sliding_coef": 0.01,
             "save_visualizations": False,
-            "raster_window": 128,
+            "raster_window": raster_window,
         },
         "smpl": {"smpl_model_parameters_path": "/nonexistent-synthetic"},
         "data": {
@@ -87,7 +87,25 @@ def main():
                     choices=["tpu", "cpu"])
     ap.add_argument("--skip_generate", action="store_true",
                     help="reuse existing trees under --workdir")
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--num_vertices", type=int, default=0,
+                    help="downsampled synthetic body for CPU smoke "
+                         "runs (0 = full 6890)")
+    ap.add_argument("--raster_window", type=int, default=128)
     args = ap.parse_args()
+
+    if args.num_vertices:
+        # the prediction/eval subprocesses resolve the SAME
+        # downsampled body via the loader's env hook
+        os.environ["MHMOCAP_SYNTHETIC_SMPL"] = str(args.num_vertices)
+
+    if args.platform == "cpu":
+        # keep the generation/eval in THIS process off the TPU too:
+        # the container's sitecustomize force-registers the remote
+        # backend, so the env var alone is not enough (conftest.py)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     data_path = os.path.join(args.workdir, "data")
     out_path = os.path.join(args.workdir, "out")
@@ -102,18 +120,20 @@ def main():
         # the DEFAULT full-size synthetic body: the prediction
         # subprocesses resolve the same model via the
         # /nonexistent-synthetic fallback, so GT and fit agree
-        model = make_synthetic_smpl()
+        model = make_synthetic_smpl(
+            num_vertices=args.num_vertices or 6890)
         for i in ts_ids:
             generate_sequence(
                 os.path.join(data_path, f"TS{i}"),
                 num_frames=args.frames,
                 num_people=3 if i % 2 else 2,
-                image_size=(256, 256), model=model, seed=7 + i,
-                mupots_gt=True)
+                image_size=(args.image_size, args.image_size),
+                model=model, seed=7 + i, mupots_gt=True)
             print(f"generated TS{i}", flush=True)
 
     cfg_path = make_config(os.path.join(args.workdir, "predict.yml"),
-                           data_path, args.num_iter)
+                           data_path, args.num_iter,
+                           raster_window=args.raster_window)
 
     from predict_mupots_sweep import build_commands, run_sweep
     cmds = build_commands(ts_ids, cfg_path, out_path)

@@ -5,6 +5,9 @@ end-to-end predict path itself is covered by tests/test_e2e_pipeline.
 """
 
 import os
+
+import numpy as np
+import pytest
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(
@@ -54,3 +57,34 @@ def test_run_sweep_reports_failures_and_retries(tmp_path):
         workers=1, platform="cpu", retries=1, labels=["a", "b"])
     assert res["a"] == 0          # retry healed it
     assert res["b"] == 2          # persistent failure reported
+
+
+@pytest.mark.slow
+def test_synthetic_e2e_sweep_script_smoke(tmp_path):
+    """The in-tree accuracy-sweep script end-to-end at CPU smoke
+    scale: generate -> predict (subprocess, CPU worker) -> eval ->
+    one JSON line with the averaged FinalResults metrics."""
+    import json
+    import subprocess
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(repo, "script", "synthetic_e2e_sweep.py"),
+         "--workdir", str(tmp_path), "--num_seqs", "1",
+         "--frames", "6", "--num_iter", "2", "--platform", "cpu",
+         "--image_size", "96", "--num_vertices", "512",
+         "--raster_window", "64"],
+        capture_output=True, text=True, timeout=600,
+        # O1 XLA:CPU in the subprocesses too (same rationale as
+        # conftest.py: O3 is compile-heavy and slower for this engine)
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "XLA_FLAGS": (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_backend_optimization_level=1"
+                           ).strip()})
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    line = [ln for ln in out.stdout.strip().splitlines()
+            if ln.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["metric"] == "synthetic_e2e_sweep"
+    assert np.isfinite(res["avg"]["pck_rel"])
+    assert 0.0 <= res["avg"]["pck_rel"] <= 100.0
