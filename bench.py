@@ -49,10 +49,11 @@ T, N, SIDE, WINDOW = 201, 3, 256, 160
 BENCH_CYCLES = (30, 55)
 
 
-def make_ts1_like_seq():
+def make_ts1_like_seq(T=T, N=N, side=SIDE):
     """Synthetic TS1-scale SequenceArrays (shapes and occupancy match
     the MuPoTs working configuration; content is generated, not
-    loaded — the container has no MuPoTs data)."""
+    loaded — the container has no MuPoTs data). Shared by bench.py and
+    script/profile_cycle.py so both measure the SAME workload."""
     import jax.numpy as jnp
     from mhmocap_tpu.models.synthetic import make_synthetic_smpl
     from mhmocap_tpu.models.smpl import smpl_forward
@@ -61,7 +62,7 @@ def make_ts1_like_seq():
     from mhmocap_tpu.data.ingestion import SequenceArrays
 
     model = make_synthetic_smpl()  # full 6890 verts / ~12.7k faces
-    K = intrinsics_from_fov((SIDE, SIDE), 60.0)
+    K = intrinsics_from_fov((side, side), 60.0)
     rng = np.random.RandomState(0)
 
     poses_smpl = 0.1 * rng.randn(T, N, 72).astype(np.float32)
@@ -81,15 +82,15 @@ def make_ts1_like_seq():
     pose2d = np.concatenate(
         [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
 
-    seg = np.zeros((T, N, SIDE, SIDE), np.float32)
+    seg = np.zeros((T, N, side, side), np.float32)
     for n in range(N):
         x0 = 40 + 60 * n
         seg[:, n, 60:200, x0:x0 + 50] = 1
     seq = SequenceArrays(
-        images=np.zeros((T, SIDE, SIDE, 3), np.uint8),
-        depths=np.clip(0.5 + 0.1 * rng.randn(T, SIDE, SIDE), 0,
+        images=np.zeros((T, side, side, 3), np.uint8),
+        depths=np.clip(0.5 + 0.1 * rng.randn(T, side, side), 0,
                        1).astype(np.float32),
-        instances=np.zeros((T, SIDE, SIDE), np.uint8),
+        instances=np.zeros((T, side, side), np.uint8),
         seg_mask=seg,
         backmasks=1.0 - seg.max(axis=1),
         pose2d=pose2d,
@@ -99,7 +100,7 @@ def make_ts1_like_seq():
         valid_smpl=np.ones((T, N, 1), np.float32),
         frame_ids=np.arange(T),
         cam={"K": K, "fov": 60.0, "Kd": None,
-             "image_size": (SIDE, SIDE)},
+             "image_size": (side, side)},
     )
     return seq, model
 
@@ -152,7 +153,10 @@ def main():
         reg_scales_coef=1e-4, reg_velocity_coef=0.05,
         reg_verts_filter_coef=0.002, reg_contact_coef=0.001,
         reg_foot_sliding_coef=0.01, joint_confidence_thr=0.5,
-        raster_window=WINDOW, bench_cycles=BENCH_CYCLES)
+        raster_window=WINDOW, bench_cycles=BENCH_CYCLES,
+        # the headline is the ONE-chip cadence: never auto-engage
+        # SPMD on a multi-chip host (bare_cycle is single-device too)
+        spmd=False)
 
     with tempfile.TemporaryDirectory() as tmp:
         pred = Predictor(seq, model, tmp, args)

@@ -724,6 +724,21 @@ def make_stage1_optimizer(lr: float = 0.01, alpha: float = 0.5,
                          eps=1e-8)
 
 
+def grad_step(loss_fn, params: StageParams, opt_state,
+              optimize_scale: bool):
+    """value_and_grad + RMSprop update shared by every cycle variant
+    (single-device, fused, and the sharded counterparts in
+    parallel/spmd.py)."""
+    opt = make_stage1_optimizer()
+    (loss, parts), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(params)
+    if not optimize_scale:
+        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
+    updates, opt_state = opt.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, parts
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "optimize_scale"),
                    donate_argnums=(0, 1))
 def stage1_cycle(params: StageParams, opt_state, model: SMPLModel,
@@ -731,14 +746,9 @@ def stage1_cycle(params: StageParams, opt_state, model: SMPLModel,
                  cfg: EngineConfig, optimize_scale: bool = True):
     """One full optimization cycle (== one reference epoch): full-batch
     gradient over all frames, one RMSprop update."""
-    opt = make_stage1_optimizer()
-    (loss, parts), grads = jax.value_and_grad(
-        _cycle_loss, has_aux=True)(params, model, data, aux, coefs, cfg)
-    if not optimize_scale:
-        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, loss, parts
+    return grad_step(
+        lambda p: _cycle_loss(p, model, data, aux, coefs, cfg),
+        params, opt_state, optimize_scale)
 
 
 def _update_scene_impl(params: StageParams, data: SeqData,
@@ -813,26 +823,16 @@ def update_filtered_targets(params: StageParams, model: SMPLModel,
     return _update_filtered_targets_impl(params, model, cfg)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("cfg", "optimize_scale"),
-                   donate_argnums=(0, 1, 2))
-def stage1_cycle_fused(params: StageParams, opt_state, aux: StageAux,
-                       cycle_idx, model: SMPLModel, data: SeqData,
-                       coefs, cfg: EngineConfig,
-                       optimize_scale: bool = True):
-    """One PRODUCTION cycle as ONE device program: the conditional
-    scene rebuild (every `scene_update_every` cycles from
-    `warmup_cycles`, reference optimizer.py:578-584) and the
-    conditional One-Euro filtered-target refresh (every
-    `update_filters_every`, optimizer.py:383-392) run under `lax.cond`
-    inside the same program as the full-batch cycle update.
-
-    Dispatching the aux refreshes as separate jit calls cost two extra
-    program launches per cycle through the remote-TPU tunnel —
-    measured ~20% of the production cadence at TS1 scale; fusing makes
-    the steady-state loop exactly one dispatch per cycle and keeps the
-    aux state resident on device (donated and returned).
-    """
+def fused_aux_refresh(params: StageParams, aux: StageAux, cycle_idx,
+                      model: SMPLModel, data: SeqData,
+                      cfg: EngineConfig) -> StageAux:
+    """Conditional aux refreshes under `lax.cond` inside the cycle
+    program: the scene rebuild (every `scene_update_every` cycles from
+    `warmup_cycles`, reference optimizer.py:578-584) and the One-Euro
+    filtered-target refresh (every `update_filters_every`,
+    optimizer.py:383-392). Shared by the single-device and sharded
+    fused cycles so the refresh cadence can never diverge between
+    them."""
     do_aux = cycle_idx >= cfg.warmup_cycles
     do_scene = do_aux & (cycle_idx % cfg.scene_update_every == 0)
     do_filt = do_aux & (cycle_idx % cfg.update_filters_every == 0)
@@ -844,7 +844,7 @@ def stage1_cycle_fused(params: StageParams, opt_state, aux: StageAux,
                    lambda _: _update_filtered_targets_impl(
                        params, model, cfg),
                    lambda _: aux.verts_filt_diff, None)
-    aux = aux._replace(
+    return aux._replace(
         scene=scene,
         have_scene=jnp.maximum(aux.have_scene,
                                do_scene.astype(jnp.float32)),
@@ -852,14 +852,28 @@ def stage1_cycle_fused(params: StageParams, opt_state, aux: StageAux,
         have_filters=jnp.maximum(aux.have_filters,
                                  do_filt.astype(jnp.float32)))
 
-    opt = make_stage1_optimizer()
-    (loss, parts), grads = jax.value_and_grad(
-        _cycle_loss, has_aux=True)(params, model, data, aux, coefs,
-                                   cfg)
-    if not optimize_scale:
-        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "optimize_scale"),
+                   donate_argnums=(0, 1, 2))
+def stage1_cycle_fused(params: StageParams, opt_state, aux: StageAux,
+                       cycle_idx, model: SMPLModel, data: SeqData,
+                       coefs, cfg: EngineConfig,
+                       optimize_scale: bool = True):
+    """One PRODUCTION cycle as ONE device program: the conditional
+    aux refreshes (fused_aux_refresh) run inside the same program as
+    the full-batch cycle update.
+
+    Dispatching the aux refreshes as separate jit calls cost two extra
+    program launches per cycle through the remote-TPU tunnel —
+    measured ~20% of the production cadence at TS1 scale; fusing makes
+    the steady-state loop exactly one dispatch per cycle and keeps the
+    aux state resident on device (donated and returned).
+    """
+    aux = fused_aux_refresh(params, aux, cycle_idx, model, data, cfg)
+    params, opt_state, loss, parts = grad_step(
+        lambda p: _cycle_loss(p, model, data, aux, coefs, cfg),
+        params, opt_state, optimize_scale)
     return params, opt_state, aux, loss, parts
 
 

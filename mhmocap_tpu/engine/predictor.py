@@ -346,7 +346,7 @@ class Predictor:
                 if cycle == bench_cycles[0]:
                     jax.block_until_ready(loss)
                     t_bench = time.time()
-                elif cycle == bench_cycles[1]:
+                elif cycle == bench_cycles[1] and t_bench is not None:
                     jax.block_until_ready(loss)
                     self.bench_seconds = time.time() - t_bench
             if profile_dir and cycle == 2:

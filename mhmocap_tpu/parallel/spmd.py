@@ -27,7 +27,6 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
@@ -183,18 +182,10 @@ def spmd_stage1_cycle(params, opt_state, model, data, aux, coefs,
                       optimize_scale: bool = True):
     """One sharded optimization cycle (the multi-chip counterpart of
     engine.optimizer.stage1_cycle)."""
-    opt = E.make_stage1_optimizer()
-
-    def loss_fn(p):
-        return spmd_cycle_loss(p, model, data, aux, coefs, cfg, mesh)
-
-    (loss, parts), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(params)
-    if not optimize_scale:
-        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
-    return params, opt_state, loss, parts
+    return E.grad_step(
+        lambda p: spmd_cycle_loss(p, model, data, aux, coefs, cfg,
+                                  mesh),
+        params, opt_state, optimize_scale)
 
 
 @functools.partial(jax.jit,
@@ -206,43 +197,19 @@ def spmd_stage1_cycle_fused(params, opt_state, aux: E.StageAux,
                             optimize_scale: bool = True):
     """Sharded counterpart of engine.optimizer.stage1_cycle_fused:
     ONE program per production cycle. The conditional scene rebuild
-    and filtered-target refresh run under GSPMD on the sharded arrays
+    and filtered-target refresh (the SAME engine.fused_aux_refresh the
+    single-device path runs) execute under GSPMD on the sharded arrays
     (XLA inserts the cross-shard collectives for the full-T median,
     exactly as the standalone update_scene jit did); the chunked loss
     + halo exchange stay a shard_map. Aux outputs are constrained back
     to their canonical shardings so the steady-state aux never leaves
     the device mesh."""
-    do_aux = cycle_idx >= cfg.warmup_cycles
-    do_scene = do_aux & (cycle_idx % cfg.scene_update_every == 0)
-    do_filt = do_aux & (cycle_idx % cfg.update_filters_every == 0)
-
-    scene = lax.cond(
-        do_scene, lambda _: E._update_scene_impl(params, data, cfg),
-        lambda _: aux.scene, None)
-    dvf = lax.cond(
-        do_filt,
-        lambda _: E._update_filtered_targets_impl(params, model, cfg),
-        lambda _: aux.verts_filt_diff, None)
-    aux = aux._replace(
-        scene=scene,
-        have_scene=jnp.maximum(aux.have_scene,
-                               do_scene.astype(jnp.float32)),
-        verts_filt_diff=dvf,
-        have_filters=jnp.maximum(aux.have_filters,
-                                 do_filt.astype(jnp.float32)))
+    aux = E.fused_aux_refresh(params, aux, cycle_idx, model, data, cfg)
     aux = jax.tree.map(
         lambda x, s: jax.lax.with_sharding_constraint(
             x, NamedSharding(mesh, s)), aux, _aux_specs())
-
-    opt = E.make_stage1_optimizer()
-
-    def loss_fn(p):
-        return spmd_cycle_loss(p, model, data, aux, coefs, cfg, mesh)
-
-    (loss, parts), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(params)
-    if not optimize_scale:
-        grads = grads._replace(xscale=jnp.zeros_like(grads.xscale))
-    updates, opt_state = opt.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
+    params, opt_state, loss, parts = E.grad_step(
+        lambda p: spmd_cycle_loss(p, model, data, aux, coefs, cfg,
+                                  mesh),
+        params, opt_state, optimize_scale)
     return params, opt_state, aux, loss, parts

@@ -511,8 +511,13 @@ class SceneHumansVisualizer(BaseVisualizer):
         # with translate(-z) (visualization.py:274,:285) — final
         # binding reproduced; captures run on 'N'
         vis.register_key_callback(ord("C"), translate(0, 0, -0.01))
-        vis.run()
-        vis.destroy_window()
+        try:
+            vis.run()
+        finally:
+            vis.destroy_window()
+            # re-enable step()-driven headless captures once
+            # the interactive window is gone
+            self._in_o3d_run = False
 
 
 class SkeletonVisualizer(BaseVisualizer):
@@ -694,8 +699,13 @@ class SkeletonVisualizer(BaseVisualizer):
         vis.register_key_callback(ord("N"), next_frame)
         vis.register_key_callback(ord("U"), self._camera_true_view)
         vis.register_key_callback(ord("R"), self._load_render_option)
-        vis.run()
-        vis.destroy_window()
+        try:
+            vis.run()
+        finally:
+            vis.destroy_window()
+            # re-enable step()-driven headless captures once
+            # the interactive window is gone
+            self._in_o3d_run = False
 
 
 def write_default_renderoption(path: str = RENDEROPTION_PATH):

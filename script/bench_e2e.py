@@ -73,6 +73,7 @@ def main():
     print(f"e2e: generate (test harness) {t_gen:.0f}s  "
           f"ingest (load_sequence) {t_ingest:.0f}s", flush=True)
 
+    bc = (30, 55) if args.cycles > 55 else None
     pa = types.SimpleNamespace(
         num_iter=args.cycles, batch_size=10, save_visualizations=False,
         proj2d_loss_coef=1.0, depth_loss_coef=0.05,
@@ -83,7 +84,7 @@ def main():
         raster_window=128, spmd=False,
         # steady-state cadence window: one full filter-refresh period
         # past the scene/contact warmup boundary
-        bench_cycles=(30, 55) if args.cycles > 55 else None)
+        bench_cycles=bc)
     t0 = time.time()
     p = Predictor(seq, model, tempfile.mkdtemp(), pa)
     out = p.run()
@@ -97,10 +98,10 @@ def main():
           f"fit+init {t_fit:.0f}s  "
           f"TOTAL {total:.0f}s ({total / 60:.1f} min) incl. compiles")
     if getattr(p, "bench_seconds", None) is not None:
-        per_cycle = p.bench_seconds / 25
+        per_cycle = p.bench_seconds / (bc[1] - bc[0])
         print(f"e2e: steady-state cycle {per_cycle * 1e3:.0f}ms -> "
               f"{args.frames / per_cycle:.0f} frame-cycles/s "
-              f"(cycles [30, 55))")
+              f"(cycles [{bc[0]}, {bc[1]}))")
     print(f"e2e: loss first/last = {log[0]['loss_pose24j']:.2f} / "
           f"{log[-1]['loss_pose24j']:.2f}")
 

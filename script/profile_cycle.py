@@ -54,60 +54,31 @@ def main():
     args = ap.parse_args()
 
     from mhmocap_tpu.engine import optimizer as E
-    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
     from mhmocap_tpu.models.smpl import smpl_forward
-    from mhmocap_tpu.ops.cameras import project_points, \
-        intrinsics_from_fov
     from mhmocap_tpu.ops import rasterizer as R
+    from mhmocap_tpu.ops.cameras import project_points
     from mhmocap_tpu.ops.raster_pallas import rasterize_body_pallas
-    from mhmocap_tpu.data.ingestion import SequenceArrays
+    # the SAME synthetic TS1-scale workload bench.py measures
+    # (including the z=3.4 window-guard tuning)
+    from bench import make_ts1_like_seq
 
     T, N, side = args.T, 3, 256
-    model = make_synthetic_smpl()
+    seq, model = make_ts1_like_seq(T=T)
     # production raster path: statically ordered faces (as bench.py
     # and the Predictor configure)
     model = R.preorder_faces(model)
-    K = intrinsics_from_fov((side, side), 60.0)
-    rng = np.random.RandomState(0)
-
-    poses_smpl = 0.1 * rng.randn(T, N, 72).astype(np.float32)
-    betas = np.zeros((T, N, 10), np.float32)
+    K = np.asarray(seq.cam["K"])
+    poses_smpl, betas = seq.poses_smpl, seq.betas_smpl
+    pose2d = seq.pose2d
     poses_T = np.zeros((T, N, 1, 3), np.float32)
     poses_T[:, :, 0, 2] = np.linspace(3.4, 5.0, N)[None]
     poses_T[:, :, 0, 0] = np.linspace(-0.8, 0.8, N)[None]
-    out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
-                       jnp.asarray(poses_smpl.reshape(-1, 72)))
-    j3d = np.asarray(out["joints_alphapose"]).reshape(T, N, 17, 3) \
-        + poses_T
-    uv = np.asarray(project_points(jnp.asarray(j3d), jnp.asarray(K)))
-    pose2d = np.concatenate(
-        [uv, 0.9 * np.ones((T, N, 17, 1), np.float32)], -1)
 
     cfg = E.EngineConfig(image_size=(side, side), num_people=N,
                          num_frames=T, chunk=args.chunk, window=args.win,
                          face_chunk=128, preordered_faces=True)
     params, _, _ = E.init_params(model, pose2d, poses_smpl, betas, K,
                                  cfg, num_iter=5)
-    seg = np.zeros((T, N, side, side), np.float32)
-    for n in range(N):
-        x0 = 40 + 60 * n
-        seg[:, n, 60:200, x0:x0 + 50] = 1
-    seq = SequenceArrays(
-        images=np.zeros((T, side, side, 3), np.uint8),
-        depths=np.clip(0.5 + 0.1 * rng.randn(T, side, side), 0,
-                       1).astype(np.float32),
-        instances=np.zeros((T, side, side), np.uint8),
-        seg_mask=seg,
-        backmasks=1.0 - seg.max(axis=1),
-        pose2d=pose2d,
-        cam_smpl=np.zeros((T, N, 3), np.float32),
-        poses_smpl=poses_smpl,
-        betas_smpl=betas,
-        valid_smpl=np.ones((T, N, 1), np.float32),
-        frame_ids=np.arange(T),
-        cam={"K": K, "fov": 60.0, "Kd": None,
-             "image_size": (side, side)},
-    )
     data = E.prepare_seq_data(seq, cfg)
     aux = E.init_aux(cfg, model.num_vertices,
                      jnp.asarray(betas[:1].mean(0, keepdims=True)))
