@@ -37,18 +37,33 @@ from .romp import load_romp_sequence
 # Modality loaders
 # ---------------------------------------------------------------------------
 
+def _host_map(fn, items):
+    """Order-preserving threaded map for per-frame host decoding.
+
+    PIL's zlib/JPEG decoders and cv2's filters release the GIL, so a
+    thread pool parallelizes the file-heavy loaders (the reference
+    gets the same effect from its num_workers DataLoader processes,
+    datautils.py + predict_mupots.py DataLoader(num_workers=4))."""
+    items = list(items)
+    if len(items) <= 1:
+        return [fn(x) for x in items]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(16, os.cpu_count() or 4)) as ex:
+        return list(ex.map(fn, items))
+
+
 def load_images(paths: List[str], resize_factor: float) -> np.ndarray:
     """Bicubic-resized RGB frames -> (T, H, W, 3) uint8
     (datautils.py:43-54)."""
-    frames = []
-    for p in paths:
+    def one(p):
         img = Image.open(p)
         if abs(resize_factor - 1.0) > 1e-3:
             w = int(round(resize_factor * img.size[0]))
             h = int(round(resize_factor * img.size[1]))
             img = img.resize((w, h), resample=Image.BICUBIC)
-        frames.append(np.asarray(img))
-    return np.stack(frames, axis=0)
+        return np.asarray(img)
+
+    return np.stack(_host_map(one, paths), axis=0)
 
 
 def load_disparity_maps(paths: List[str], image_size: Tuple[int, int],
@@ -57,10 +72,12 @@ def load_disparity_maps(paths: List[str], image_size: Tuple[int, int],
                         post_process: bool = True) -> np.ndarray:
     """Normalized disparity maps -> (T, H, W) float32
     (datautils.py:57-80). Post-processing (Sobel outlier removal +
-    fill-in) runs on the JAX device via ops.image."""
+    fill-in) runs BATCHED on the JAX device via ops.image — the
+    per-frame device round-trips used to dominate ingestion wall
+    time through the remote-TPU tunnel."""
     import cv2
-    maps = []
-    for p in paths:
+
+    def one(p):
         img = Image.open(p)
         if img.size != tuple(image_size):
             img = img.resize(tuple(image_size), resample=Image.BICUBIC)
@@ -69,14 +86,39 @@ def load_disparity_maps(paths: List[str], image_size: Tuple[int, int],
         if use_bilateral_filter:
             disp = cv2.bilateralFilter(disp, 15, sigmaColor=0.3,
                                        sigmaSpace=31)
-        if post_process:
-            from ..ops.image import postprocess_dispmap
-            disp = np.asarray(postprocess_dispmap(disp, minz=1, maxz=100,
-                                                  fillin_ksize=7))
-        if renormalize:
-            disp = (disp - disp.min()) / max(disp.max() - disp.min(), 1e-8)
-        maps.append(disp)
-    return np.stack(maps, axis=0)
+        return disp
+
+    stack = np.stack(_host_map(one, paths), axis=0)
+
+    if post_process:
+        import jax
+        import jax.numpy as jnp
+        from ..ops.image import postprocess_dispmap
+
+        # one device call per 128-frame block (block-padded with the
+        # last frame so every block compiles at one shape); the
+        # fill-in while_loop body is idempotent once a frame's mask
+        # is full, so batching never changes per-frame results
+        B = min(128, stack.shape[0])
+        f = jax.jit(jax.vmap(lambda d: postprocess_dispmap(
+            d, minz=1, maxz=100, fillin_ksize=7)))
+        out = []
+        for i in range(0, stack.shape[0], B):
+            blk = stack[i:i + B]
+            pad = B - blk.shape[0]
+            if pad:
+                blk = np.concatenate(
+                    [blk, np.repeat(blk[-1:], pad, axis=0)], axis=0)
+            res = np.asarray(f(jnp.asarray(blk)))
+            out.append(res[:B - pad] if pad else res)
+        stack = np.concatenate(out, axis=0)
+
+    if renormalize:
+        lo = stack.min(axis=(1, 2), keepdims=True)
+        rng = np.maximum(stack.max(axis=(1, 2), keepdims=True) - lo,
+                         1e-8)
+        stack = (stack - lo) / rng
+    return stack
 
 
 def load_segmentation_maps(paths: List[str], image_size: Tuple[int, int],
@@ -89,8 +131,8 @@ def load_segmentation_maps(paths: List[str], image_size: Tuple[int, int],
     instances don't fuse; the background mask is eroded independently.
     """
     import cv2
-    insts, backs = [], []
-    for p in paths:
+
+    def one(p):
         img = Image.open(p)
         if img.size != tuple(image_size):
             img = img.resize(tuple(image_size), resample=Image.NEAREST)
@@ -106,9 +148,11 @@ def load_segmentation_maps(paths: List[str], image_size: Tuple[int, int],
         if bg_erode_iters > 0:
             back = cv2.erode(back, np.ones((3, 3)),
                              iterations=bg_erode_iters)
-        insts.append(inst)
-        backs.append(back)
-    return np.stack(insts, axis=0), np.stack(backs, axis=0)
+        return inst, back
+
+    pairs = _host_map(one, paths)
+    return (np.stack([p[0] for p in pairs], axis=0),
+            np.stack([p[1] for p in pairs], axis=0))
 
 
 def split_instance_masks(instances: np.ndarray,

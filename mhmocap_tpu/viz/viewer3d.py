@@ -358,17 +358,18 @@ class SceneHumansVisualizer(BaseVisualizer):
                                self.capture_rendered_color,
                                self.capture_rendered_depth)
 
-    def step(self):
+    def step(self, capture: bool = True):
         """Advance one frame (the 'N' key), auto-capturing when the
         capture flags are set — the reference captures inside
-        show_next_frame (:264)."""
+        show_next_frame (:264). The o3d next_frame callbacks pass
+        capture=False because they run their own Open3D buffer capture
+        (:264,:181-203); the headless splat capture would double-write
+        interleaved image indices."""
         self.curr_frame = (self.curr_frame + 1) % self.max_frames
         if self.verbose:
             print(f"frame {self.curr_frame}")
-        # inside run(), the Open3D buffer capture in next_frame is the
-        # one that matches the reference (:264,:181-203); the headless
-        # splat capture would double-write interleaved image indices
-        if ((self.capture_rendered_color or self.capture_rendered_depth)
+        if (capture and (self.capture_rendered_color
+                         or self.capture_rendered_depth)
                 and not getattr(self, "_in_o3d_run", False)):
             self.capture_frame()
         return self.curr_frame
@@ -464,7 +465,7 @@ class SceneHumansVisualizer(BaseVisualizer):
             vis.add_geometry(floor)
 
         def next_frame(v):
-            t = self.step()
+            t = self.step(capture=False)   # _o3d_capture below instead
             if self.multiple_scenes:
                 p, c = self._scene_of(t)
                 pcd.points = o3d.utility.Vector3dVector(p)
@@ -595,9 +596,9 @@ class SkeletonVisualizer(BaseVisualizer):
                 else np.zeros((0, 3), np.float32))
         self._headless_capture(pts, cols, True, False)
 
-    def step(self):
+    def step(self, capture: bool = True):
         self.curr_frame = (self.curr_frame + 1) % self.max_frames
-        if (self.capture_rendered_color
+        if (capture and self.capture_rendered_color
                 and not getattr(self, "_in_o3d_run", False)):
             self.capture_frame()
         return self.curr_frame
@@ -682,7 +683,7 @@ class SkeletonVisualizer(BaseVisualizer):
             vis.add_geometry(floor)
 
         def next_frame(v):
-            t = self.step()
+            t = self.step(capture=False)   # _o3d_capture below instead
             for (p, l, _), ls, group in zip(self.frames[t], lines,
                                             spheres):
                 ls.points = o3d.utility.Vector3dVector(p)
