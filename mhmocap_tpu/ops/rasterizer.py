@@ -196,10 +196,19 @@ def spatial_face_order(v_template, faces,
     return np.lexsort((x, b)).astype(np.int32)
 
 
-def preorder_faces(model, band: float = 0.05):
+def preorder_faces(model, band: float = 0.05, verts=None):
     """Return a copy of `model` with faces permuted by
     `spatial_face_order`, ready for `RasterSettings.preordered=True`
     (the Predictor, bench, and driver entries all use this).
+
+    `verts` (optional, (V, 3)) orders by a REPRESENTATIVE POSED body
+    instead of the T-pose template, for sequences whose people share
+    a strongly non-upright pose. Measured on the bench workload this
+    is NOT a default win: one body's articulation noise does not
+    transfer to the others (+3.4% exact-overlap pairs vs template),
+    so the Predictor keeps the template sweep. The order is traced
+    DATA (a gather of the face array), so the choice never recompiles
+    any program.
 
     Face ORDER is irrelevant to LBS, the losses, and mesh export, but
     anything holding indices INTO the face array (e.g. landmark
@@ -208,8 +217,8 @@ def preorder_faces(model, band: float = 0.05):
     remap them with the returned permutation's inverse.
     """
     import jax.numpy as jnp
-    order = spatial_face_order(model.v_template, model.faces,
-                               band=band)
+    src = model.v_template if verts is None else verts
+    order = spatial_face_order(src, model.faces, band=band)
     return model.replace(
         faces=jnp.asarray(np.asarray(model.faces)[order]))
 

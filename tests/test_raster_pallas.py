@@ -166,8 +166,9 @@ def test_pallas_preordered_matches_dynamic():
 def test_strip_chunk_lists_cover_all_overlaps():
     """Property: every chunk whose reach-expanded bbox overlaps a
     (strip, x-block) cell must appear in that cell's [lo, hi) slice of
-    the x-sorted strip list (the searchsorted lo-bound uses the
-    strip's widest chunk — verify no overlap escapes it)."""
+    the x-sorted strip list (completeness), and the prefix-max
+    lo-bound must be TIGHT: the slice never starts before the first
+    x-reachable chunk (minimality)."""
     rng = np.random.RandomState(7)
     win = 64
     n_xb = RP._n_xb(win)
@@ -190,9 +191,16 @@ def test_strip_chunk_lists_cover_all_overlaps():
             for xb in range(n_xb):
                 x0, x1 = xb * xw, (xb + 1) * xw
                 cell = s * n_xb + xb
-                sched = set(lists[s, bounds[cell, 0]:bounds[cell, 1]])
+                b_lo, b_hi = bounds[cell]
+                sched = set(lists[s, b_lo:b_hi])
                 for c in range(nc):
                     overlaps = (agg[c, 2] < y1 and agg[c, 3] >= y0
                                 and agg[c, 0] < x1 and agg[c, 1] >= x0)
                     if overlaps:
                         assert c in sched, (trial, s, xb, c)
+                # minimality: if the slice is non-empty, its first
+                # entry must be x-reachable (xhi >= cell x-lo) —
+                # earlier entries were provably unreachable
+                if b_lo < b_hi:
+                    first = lists[s, b_lo]
+                    assert agg[first, 1] >= x0, (trial, s, xb, first)
