@@ -161,6 +161,19 @@ def test_pallas_preordered_matches_dynamic():
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_d),
                                rtol=1e-3, atol=1e-3)
 
+    # the preorder_faces(verts=...) hook (posed-body ordering) is just
+    # another permutation: identical raster up to the same tolerances
+    order_v = R.spatial_face_order(np.asarray(v), model.faces)
+    assert sorted(order_v.tolist()) == list(range(model.faces.shape[0]))
+    faces_v = jnp.asarray(np.asarray(model.faces)[order_v])
+    o_v = RP.rasterize_body_pallas(v, faces_v, K,
+                                   st._replace(preordered=True))
+    z_v = np.asarray(o_v["zbuf"])
+    assert (np.isfinite(z_d) == np.isfinite(z_v)).all()
+    np.testing.assert_allclose(z_v[both], z_d[both], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_v["sil"]),
+                               np.asarray(o_dyn["sil"]), atol=1e-5)
+
 
 @pytest.mark.slow
 def test_strip_chunk_lists_cover_all_overlaps():
