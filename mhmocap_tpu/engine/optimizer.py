@@ -65,7 +65,17 @@ class EngineConfig:
     num_people: int
     num_frames: int                      # real T (before padding)
     chunk: int = 16                      # frames per scan step
-    window: int = 128                    # raster crop window
+    window: int = 128                    # raster crop window (shared)
+    # Per-PERSON raster windows (len num_people, multiples of 8).
+    # None = every person uses `window`. Far people project small, so
+    # sizing each person's crop to their own observed bbox need cuts
+    # the raster + window-loss work quadratically (the reference
+    # rasterizes the full image for everyone, optimizer.py:211-232;
+    # the window crop is this engine's documented deviation and the
+    # per-person sizes change nothing semantically: the depth loss is
+    # a masked mean over the person's own eroded mask, and the
+    # silhouette loss carries an explicit outside-window term).
+    windows: Optional[Tuple[int, ...]] = None
     face_chunk: int = 128
     joint_confidence_thr: float = 0.5
     eps: float = 1e-3
@@ -116,7 +126,8 @@ class EngineConfig:
         # full-residual estimate per body: face tables (full SMPL) +
         # four window-sized buffers; remat when past ~6 GB of HBM
         bodies = self.padded_frames * self.num_people
-        per_body = 1.7e6 + 16.0 * self.window ** 2
+        mean_win2 = float(np.mean([w * w for w in self.person_windows]))
+        per_body = 1.7e6 + 16.0 * mean_win2
         return bodies * per_body > 6e9
 
     @property
@@ -131,9 +142,30 @@ class EngineConfig:
         return self.padded_frames // self.chunk
 
     @property
+    def person_windows(self) -> Tuple[int, ...]:
+        if self.windows is None:
+            return (self.window,) * self.num_people
+        assert len(self.windows) == self.num_people
+        return self.windows
+
+    @property
+    def window_groups(self) -> Tuple[Tuple[int, Tuple[int, ...]], ...]:
+        """Person indices grouped by window size, descending size:
+        ((win, (n0, n1, ...)), ...). People sharing a window batch
+        into ONE raster call (static at trace time)."""
+        pw = self.person_windows
+        sizes = sorted(set(pw), reverse=True)
+        return tuple(
+            (w, tuple(n for n in range(self.num_people) if pw[n] == w))
+            for w in sizes)
+
+    @property
     def raster_settings(self) -> RasterSettings:
+        return self.raster_settings_for_window(self.window)
+
+    def raster_settings_for_window(self, window: int) -> RasterSettings:
         return RasterSettings(
-            image_size=self.image_size, window=self.window,
+            image_size=self.image_size, window=window,
             face_chunk=self.face_chunk, znear=self.znear,
             zfar=self.zfar, preordered=self.preordered_faces)
 
@@ -550,34 +582,11 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     loss_pose = jnp.sum(jnp.square(w2d * (proj - pose2d_c[..., :2])
                                    / norm))
 
-    # --- rasterize all bodies of the chunk ---
-    raster = rasterize_bodies(verts_abs.reshape(C * N, -1, 3),
-                              model.faces, cam_K,
-                              cfg.raster_settings)
-    win = cfg.window
-    zbuf = raster["zbuf"].reshape(C, N, win, win)
-    sil = raster["sil"].reshape(C, N, win, win)
-    origins = raster["origin"].reshape(C, N, 2)
-
-    # --- depth loss (optimizer.py:425-442) ---
+    # --- depth-loss target (shared by all people) ------------------
     target_disp = (depths_c * (1.0 / min_z_c - 1.0 / max_z_c)
                    + 1.0 / max_z_c)               # (C, H, W)
-    target_win = _gather_windows_shared(target_disp, origins, win)
-    seg_er_win = _gather_windows(chunk.seg_er_c, origins, win)
 
-    zbuf_valid = jnp.isfinite(zbuf)
-    zbuf_safe = jnp.where(zbuf_valid, zbuf, 1.0)
-    zbuf_disp = 1.0 / jnp.clip(zbuf_safe + 0.2, cfg.eps)
-    dmask = (zbuf_valid.astype(jnp.float32) * seg_er_win
-             * (pose2d_valid * fv)[..., None, None])
-    n_pix = jnp.sum(dmask, axis=(2, 3)) + 1.0
-    mean_pred = jnp.sum(dmask * jnp.log(jnp.clip(zbuf_disp, cfg.eps)),
-                        axis=(2, 3)) / n_pix
-    mean_true = jnp.sum(dmask * jnp.log(jnp.clip(target_win, cfg.eps)),
-                        axis=(2, 3)) / n_pix
-    loss_depth = jnp.sum(jnp.square(mean_pred - mean_true))
-
-    # --- occlusion-ordered silhouette loss (optimizer.py:447-477) ---
+    # --- occlusion keep masks (full-frame, window-independent) -----
     # acc_mask for person p = union of seg masks of people closer than
     # p in this frame (z order of poses_T). Data-only (no gradient).
     # Computed PAIRWISE: closer[c, p, q] = person q in front of person
@@ -596,15 +605,59 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
         seg_c.reshape(C, N, -1)).reshape(C, N, H, W)
     keep = 1.0 - (closer > 0).astype(jnp.float32)
     n_keep = jnp.sum(keep, axis=(2, 3)) + 1.0     # (C, N)
-    keep_win = _gather_windows(keep, origins, win)
-    seg_win = _gather_windows(seg_c, origins, win)
-    in_win = jnp.sum(jnp.square(keep_win * (sil - seg_win)),
-                     axis=(2, 3))
     seg_keep_total = jnp.sum(keep * seg_c, axis=(2, 3))
-    seg_keep_win = jnp.sum(keep_win * seg_win, axis=(2, 3))
-    outside = seg_keep_total - seg_keep_win       # sum of (0-seg)^2
+    dw = pose2d_valid * fv                        # (C, N)
     sil_gate = mask_valid * pose2d_valid * fv
-    loss_sil = jnp.sum(sil_gate * (in_win + outside) / n_keep)
+
+    # --- rasterize + window losses, per window-size group ----------
+    # People are rastered at their OWN crop window (cfg.windows);
+    # same-size people batch into one call, so the default shared
+    # window stays exactly one raster call per chunk. The depth loss
+    # is a masked mean over the person's own eroded seg mask and the
+    # silhouette loss carries an explicit outside-window term, so the
+    # per-person sizes only drop pixels that contribute (0-0)^2 —
+    # semantics match the shared-window path wherever the window
+    # covers the person (guarded by Predictor._sized_window).
+    loss_depth = jnp.zeros(())
+    loss_sil = jnp.zeros(())
+    for win, group in cfg.window_groups:
+        g = np.asarray(group)
+        ng = len(group)
+        raster = rasterize_bodies(
+            verts_abs[:, g].reshape(C * ng, -1, 3), model.faces,
+            cam_K, cfg.raster_settings_for_window(win))
+        zbuf = raster["zbuf"].reshape(C, ng, win, win)
+        sil = raster["sil"].reshape(C, ng, win, win)
+        origins = raster["origin"].reshape(C, ng, 2)
+
+        # depth loss (optimizer.py:425-442)
+        target_win = _gather_windows_shared(target_disp, origins, win)
+        seg_er_win = _gather_windows(chunk.seg_er_c[:, g], origins,
+                                     win)
+        zbuf_valid = jnp.isfinite(zbuf)
+        zbuf_safe = jnp.where(zbuf_valid, zbuf, 1.0)
+        zbuf_disp = 1.0 / jnp.clip(zbuf_safe + 0.2, cfg.eps)
+        dmask = (zbuf_valid.astype(jnp.float32) * seg_er_win
+                 * dw[:, g][..., None, None])
+        n_pix = jnp.sum(dmask, axis=(2, 3)) + 1.0
+        mean_pred = jnp.sum(
+            dmask * jnp.log(jnp.clip(zbuf_disp, cfg.eps)),
+            axis=(2, 3)) / n_pix
+        mean_true = jnp.sum(
+            dmask * jnp.log(jnp.clip(target_win, cfg.eps)),
+            axis=(2, 3)) / n_pix
+        loss_depth = loss_depth + jnp.sum(
+            jnp.square(mean_pred - mean_true))
+
+        # occlusion-ordered silhouette loss (optimizer.py:447-477)
+        keep_win = _gather_windows(keep[:, g], origins, win)
+        seg_win = _gather_windows(seg_c[:, g], origins, win)
+        in_win = jnp.sum(jnp.square(keep_win * (sil - seg_win)),
+                         axis=(2, 3))
+        seg_keep_win = jnp.sum(keep_win * seg_win, axis=(2, 3))
+        outside = seg_keep_total[:, g] - seg_keep_win
+        loss_sil = loss_sil + jnp.sum(
+            sil_gate[:, g] * (in_win + outside) / n_keep[:, g])
 
     # --- contact + foot sliding (optimizer.py:485-518) ---
     # The 32-NN query against the 65k-point scene cloud is the

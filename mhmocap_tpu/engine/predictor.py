@@ -140,6 +140,7 @@ class Predictor:
             chunk=chunk,
             frame_bucket=bucket,
             window=self._sized_window(seq, parsed_args),
+            windows=self._person_windows(seq, parsed_args),
             joint_confidence_thr=getattr(
                 parsed_args, "joint_confidence_thr", 0.5),
             cam_dist_coef=(tuple(seq.cam["Kd"])
@@ -222,6 +223,50 @@ class Predictor:
         return win
 
     # ------------------------------------------------------------------
+    def _person_windows(self, seq: SequenceArrays, parsed_args):
+        """Per-PERSON raster windows from each person's own observed
+        bbox need (99th percentile, same margin as _sized_window).
+
+        Far people project small; cropping each person at their own
+        window cuts the raster + window-loss work quadratically with
+        no semantic change (see EngineConfig.windows). Disable with
+        per_person_window=False (every person then rasters at the
+        shared guard-grown window)."""
+        self.window_clip_rates = None
+        if not getattr(parsed_args, "per_person_window", True):
+            return None
+        W, H = seq.image_size
+        base = int(getattr(parsed_args, "raster_window", 128))
+        cap = max(8, (min(W, H) // 8) * 8)
+        floor = 48
+
+        thr = getattr(parsed_args, "joint_confidence_thr", 0.5)
+        vis = seq.pose2d[..., 2] > thr                     # (T, N, 17)
+        uv = seq.pose2d[..., :2]
+        big = np.asarray([W + H], np.float32)
+        lo = np.min(np.where(vis[..., None], uv, big), axis=2)
+        hi = np.max(np.where(vis[..., None], uv, -big), axis=2)
+        extent = np.max(hi - lo, axis=-1)                  # (T, N)
+        ok = np.sum(vis, axis=-1) >= 2                     # (T, N)
+
+        wins, rates = [], []
+        for n in range(seq.num_people):
+            need = 1.3 * extent[ok[:, n], n]
+            if need.size == 0:
+                wins.append(min(base, cap))
+                rates.append(0.0)
+                continue
+            req = int(np.ceil(float(np.percentile(need, 99))))
+            w = min(max(floor, (req + 7) // 8 * 8), cap)
+            wins.append(w)
+            rates.append(float(np.mean(need > w)))
+        self.window_clip_rates = tuple(rates)
+        wins = tuple(wins)
+        if len(set(wins)) > 1:
+            print(f"per-person raster windows: {wins} px")
+        return wins
+
+    # ------------------------------------------------------------------
     def run(self, verbose: bool = True) -> Dict:
         seq, cfg = self.seq, self.cfg
         verbose = verbose and getattr(self.args, "verbose", True)
@@ -267,6 +312,8 @@ class Predictor:
         # depth/silhouette supervision after the fact
         stage1_optvar["raster_window"] = cfg.window
         stage1_optvar["window_clip_rate"] = self.window_clip_rate
+        stage1_optvar["raster_windows"] = cfg.person_windows
+        stage1_optvar["window_clip_rates"] = self.window_clip_rates
         with open(os.path.join(self.output_path, "optvar_stage1.pkl"),
                   "wb") as f:
             pickle.dump(stage1_optvar, f)

@@ -237,3 +237,63 @@ def test_fused_cycle_matches_separate_updates(tiny_problem):
     np.testing.assert_allclose(float(l4), float(l3), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(p4.poses_T),
                                np.asarray(p3.poses_T), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_per_person_windows(tiny_problem):
+    """Per-person raster windows (EngineConfig.windows).
+
+    (a) windows=(w, w) reproduces the shared-window loss exactly (the
+        window_groups path batches equal sizes into the same single
+        raster call);
+    (b) shrinking the FAR person's window (still covering their bbox)
+        changes the loss only by silhouette blur-tail amounts;
+    (c) gradients stay finite and close.
+    """
+    import dataclasses
+
+    p = tiny_problem
+    # window 48 comfortably covers both bodies (z=3 and z=4 at 64 px)
+    cfg = dataclasses.replace(p["cfg"], window=48)
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=30)
+    data = _make_seq_data(p, params)
+    aux = E.init_aux(cfg, p["model"].num_vertices,
+                     jnp.asarray(p["betas"][:1].mean(0, keepdims=True)))
+    coefs = E.default_coefs()
+
+    def loss_parts(c):
+        l, parts = jax.jit(
+            lambda pr: E._cycle_loss(pr, p["model"], data, aux,
+                                     coefs, c),
+            static_argnames=())(params)
+        return float(l), np.asarray(parts)
+
+    l_shared, parts_shared = loss_parts(cfg)
+    l_equal, parts_equal = loss_parts(
+        dataclasses.replace(cfg, windows=(48, 48)))
+    np.testing.assert_allclose(l_equal, l_shared, rtol=1e-6)
+    np.testing.assert_allclose(parts_equal, parts_shared, rtol=1e-5)
+
+    # far person (index 1, z=4) at a smaller window
+    cfg_pp = dataclasses.replace(cfg, windows=(48, 40))
+    l_pp, parts_pp = loss_parts(cfg_pp)
+    assert np.isfinite(l_pp)
+    np.testing.assert_allclose(l_pp, l_shared, rtol=0.05)
+
+    g_shared = jax.grad(
+        lambda pr: E._cycle_loss(pr, p["model"], data, aux, coefs,
+                                 cfg)[0])(params)
+    g_pp = jax.grad(
+        lambda pr: E._cycle_loss(pr, p["model"], data, aux, coefs,
+                                 cfg_pp)[0])(params)
+    for a, b in zip(jax.tree.leaves(g_shared), jax.tree.leaves(g_pp)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        # gradient direction must agree where it is meaningfully large
+        big = np.abs(a) > 1e-3
+        if big.any():
+            cos = np.sum(a[big] * b[big]) / (
+                np.linalg.norm(a[big]) * np.linalg.norm(b[big]) + 1e-12)
+            assert cos > 0.99, cos
