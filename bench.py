@@ -49,6 +49,19 @@ T, N, SIDE, WINDOW = 201, 3, 256, 160
 BENCH_CYCLES = (30, 55)
 
 
+def ts1_poses_T(T=T, N=N):
+    """The TS1-like person placement shared by every instrument that
+    claims to measure the bench workload (profile_cycle,
+    raster_sched_stats): nearest body at z=3.4 keeps the window
+    guard's 99th-percentile bbox need just under the 160 px TS1
+    window (at z=3.0 it grew the window to 168 and the workload
+    stopped matching the TS1-scale narrative)."""
+    poses_T = np.zeros((T, N, 1, 3), np.float32)
+    poses_T[:, :, 0, 2] = np.linspace(3.4, 5.0, N)[None]
+    poses_T[:, :, 0, 0] = np.linspace(-0.8, 0.8, N)[None]
+    return poses_T
+
+
 def make_ts1_like_seq(T=T, N=N, side=SIDE):
     """Synthetic TS1-scale SequenceArrays (shapes and occupancy match
     the MuPoTs working configuration; content is generated, not
@@ -67,13 +80,7 @@ def make_ts1_like_seq(T=T, N=N, side=SIDE):
 
     poses_smpl = 0.1 * rng.randn(T, N, 72).astype(np.float32)
     betas = np.zeros((T, N, 10), np.float32)
-    poses_T = np.zeros((T, N, 1, 3), np.float32)
-    # nearest body at z=3.4 keeps the window guard's 99th-percentile
-    # bbox need just under the 160 px TS1 window (at z=3.0 it grew the
-    # window to 168 and the workload stopped matching the TS1-scale
-    # narrative)
-    poses_T[:, :, 0, 2] = np.linspace(3.4, 5.0, N)[None]
-    poses_T[:, :, 0, 0] = np.linspace(-0.8, 0.8, N)[None]
+    poses_T = ts1_poses_T(T, N)          # see its docstring (z=3.4)
     out = smpl_forward(model, jnp.asarray(betas.reshape(-1, 10)),
                        jnp.asarray(poses_smpl.reshape(-1, 72)))
     j3d = np.asarray(out["joints_alphapose"]).reshape(T, N, 17, 3) \

@@ -195,16 +195,8 @@ class Predictor:
         base = int(getattr(parsed_args, "raster_window", 128))
         cap = max(8, (min(W, H) // 8) * 8)
 
-        thr = getattr(parsed_args, "joint_confidence_thr", 0.5)
-        vis = seq.pose2d[..., 2] > thr                     # (T, N, 17)
-        uv = seq.pose2d[..., :2]
-        big = np.asarray([W + H], np.float32)
-        lo = np.min(np.where(vis[..., None], uv, big), axis=2)
-        hi = np.max(np.where(vis[..., None], uv, -big), axis=2)
-        extent = np.max(hi - lo, axis=-1)                  # (T, N)
-        extent = extent[np.sum(vis, axis=-1) >= 2]
-        # joints underestimate the silhouette bbox (head top, hands,
-        # feet soles); 1.3x margin covers the body surface
+        extent, ok = self._bbox_need(seq, parsed_args)
+        extent = extent[ok]
         need = 1.3 * extent if extent.size else np.zeros((1,))
         req = float(np.percentile(need, 99)) if need.size else 0.0
 
@@ -240,20 +232,15 @@ class Predictor:
         cap = max(8, (min(W, H) // 8) * 8)
         floor = 48
 
-        thr = getattr(parsed_args, "joint_confidence_thr", 0.5)
-        vis = seq.pose2d[..., 2] > thr                     # (T, N, 17)
-        uv = seq.pose2d[..., :2]
-        big = np.asarray([W + H], np.float32)
-        lo = np.min(np.where(vis[..., None], uv, big), axis=2)
-        hi = np.max(np.where(vis[..., None], uv, -big), axis=2)
-        extent = np.max(hi - lo, axis=-1)                  # (T, N)
-        ok = np.sum(vis, axis=-1) >= 2                     # (T, N)
+        extent, ok = self._bbox_need(seq, parsed_args)
 
         wins, rates = [], []
         for n in range(seq.num_people):
             need = 1.3 * extent[ok[:, n], n]
             if need.size == 0:
-                wins.append(min(base, cap))
+                # no confident detections at all: the shared base
+                # window, snapped like every other window path
+                wins.append(min(max(floor, (base + 7) // 8 * 8), cap))
                 rates.append(0.0)
                 continue
             req = int(np.ceil(float(np.percentile(need, 99))))
@@ -262,9 +249,35 @@ class Predictor:
             rates.append(float(np.mean(need > w)))
         self.window_clip_rates = tuple(rates)
         wins = tuple(wins)
+        for n, r in enumerate(rates):
+            if r > 0.0:
+                print(f"WARNING: {100 * r:.2f}% of person {n}'s frame "
+                      f"bboxes exceed their {wins[n]} px raster "
+                      f"window; their depth/silhouette supervision is "
+                      f"clipped to the window")
         if len(set(wins)) > 1:
             print(f"per-person raster windows: {wins} px")
         return wins
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _bbox_need(seq: SequenceArrays, parsed_args):
+        """Visible-keypoint bbox extents shared by the window guards.
+
+        Returns (extent (T, N) px, ok (T, N) bool): the max bbox side
+        from joints above the confidence threshold, and whether the
+        person-frame has >= 2 confident joints. Callers apply the
+        1.3x joints->silhouette margin."""
+        W, H = seq.image_size
+        thr = getattr(parsed_args, "joint_confidence_thr", 0.5)
+        vis = seq.pose2d[..., 2] > thr                     # (T, N, 17)
+        uv = seq.pose2d[..., :2]
+        big = np.asarray([W + H], np.float32)
+        lo = np.min(np.where(vis[..., None], uv, big), axis=2)
+        hi = np.max(np.where(vis[..., None], uv, -big), axis=2)
+        extent = np.max(hi - lo, axis=-1)                  # (T, N)
+        ok = np.sum(vis, axis=-1) >= 2                     # (T, N)
+        return extent, ok
 
     # ------------------------------------------------------------------
     def run(self, verbose: bool = True) -> Dict:

@@ -70,9 +70,8 @@ def main():
     K = np.asarray(seq.cam["K"])
     poses_smpl, betas = seq.poses_smpl, seq.betas_smpl
     pose2d = seq.pose2d
-    poses_T = np.zeros((T, N, 1, 3), np.float32)
-    poses_T[:, :, 0, 2] = np.linspace(3.4, 5.0, N)[None]
-    poses_T[:, :, 0, 0] = np.linspace(-0.8, 0.8, N)[None]
+    from bench import ts1_poses_T
+    poses_T = ts1_poses_T(T, N)
 
     cfg = E.EngineConfig(image_size=(side, side), num_people=N,
                          num_frames=T, chunk=args.chunk, window=args.win,

@@ -52,9 +52,7 @@ def main():
     rs = R.RasterSettings(image_size=seq.image_size, window=win,
                           preordered=True)
     T, N = seq.num_frames, seq.num_people
-    poses_T = np.zeros((T, N, 3), np.float32)
-    poses_T[:, :, 2] = np.linspace(3.4, 5.0, N)[None]
-    poses_T[:, :, 0] = np.linspace(-0.8, 0.8, N)[None]
+    poses_T = bench.ts1_poses_T(T, N)[:, :, 0]   # (T, N, 3)
     K = jnp.asarray(seq.cam["K"])
     reach = 3.0 * float(np.sqrt(rs.sil_blur_px2)) + 1.0
     n_xb = RP._n_xb(win)

@@ -152,6 +152,36 @@ def test_window_guard_records_clip_rate(tiny_smpl, tmp_path):
                   _default_args(raster_window=64))
     assert p.cfg.window == 64             # capped at the image
     assert p.window_clip_rate == 1.0      # 1.3 * 60 > 64 everywhere
+    # the per-person guard must record AND warn about the same clip
+    assert p.window_clip_rates == (1.0,)
+    assert p.cfg.windows == (64,)         # capped, multiple of 8
+
+
+def test_per_person_window_clip_warns(tiny_smpl, tmp_path, capsys):
+    """A person whose bbox tail exceeds their per-person window must
+    trigger the same WARNING the shared guard prints (review finding:
+    silent per-person supervision clipping)."""
+    T, N, side = 10, 2, 256
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    # person 0: 40 px in most frames, 200 px in one tail frame
+    pose2d[:, 0, :, 0] = np.linspace(100, 140, 17)[None]
+    pose2d[-1, 0, :, 0] = np.linspace(20, 220, 17)
+    pose2d[:, 0, :, 1] = 120
+    # person 1: steady 60 px
+    pose2d[:, 1, :, 0] = np.linspace(100, 160, 17)[None]
+    pose2d[:, 1, :, 1] = 140
+    pose2d[..., 2] = 0.9
+    p = Predictor(_tiny_seq(T=T, N=N, pose2d=pose2d), tiny_smpl,
+                  str(tmp_path), _default_args(raster_window=64))
+    out = capsys.readouterr().out
+    assert p.window_clip_rates[0] > 0.0   # tail frame clipped
+    assert "person 0" in out and "WARNING" in out
+    # the no-detection fallback stays a multiple of 8 even for odd
+    # raster_window values
+    pose2d[:, 1, :, 2] = 0.0              # person 1: nothing confident
+    p2 = Predictor(_tiny_seq(T=T, N=N, pose2d=pose2d), tiny_smpl,
+                   str(tmp_path), _default_args(raster_window=100))
+    assert p2.cfg.windows[1] % 8 == 0
 
 
 def test_scale_reg_batch_count_is_ceil():
