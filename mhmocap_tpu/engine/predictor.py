@@ -229,7 +229,14 @@ class Predictor:
             return None
         W, H = seq.image_size
         base = int(getattr(parsed_args, "raster_window", 128))
-        cap = max(8, (min(W, H) // 8) * 8)
+        # windows snap to multiples of 16 so the kernel's x-cells stay
+        # at their measured 16 px optimum: _n_xb picks the smallest
+        # window divisor >= 16, and sizes like 104 (divisor 26) or 152
+        # (19) balloon every cell — measured on the bench workload,
+        # 8-px snapping LOST kernel work (9.5 -> 11.7 M pair-pixels
+        # per body) while 16-px snapping wins 29%
+        # (script/raster_sched_stats.py --per_person).
+        cap = max(16, (min(W, H) // 16) * 16)
         floor = 48
 
         extent, ok = self._bbox_need(seq, parsed_args)
@@ -240,11 +247,11 @@ class Predictor:
             if need.size == 0:
                 # no confident detections at all: the shared base
                 # window, snapped like every other window path
-                wins.append(min(max(floor, (base + 7) // 8 * 8), cap))
+                wins.append(min(max(floor, -(-base // 16) * 16), cap))
                 rates.append(0.0)
                 continue
             req = int(np.ceil(float(np.percentile(need, 99))))
-            w = min(max(floor, (req + 7) // 8 * 8), cap)
+            w = min(max(floor, -(-req // 16) * 16), cap)
             wins.append(w)
             rates.append(float(np.mean(need > w)))
         self.window_clip_rates = tuple(rates)

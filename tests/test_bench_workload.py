@@ -54,10 +54,11 @@ def test_bench_workload_config_is_pinned(bench_seq):
     assert pred.window_clip_rate == 0.0
 
     # per-person crop windows: one per depth (z = 3.4 / 4.2 / 5.0),
-    # descending, zero residual clip for every person
-    assert cfg.windows == (152, 120, 104)
+    # descending, multiples of 16 (kernel-cell geometry — see
+    # Predictor._person_windows), zero residual clip for every person
+    assert cfg.windows == (160, 128, 112)
     assert pred.window_clip_rates == (0.0, 0.0, 0.0)
-    assert cfg.window_groups == ((152, (0,)), (120, (1,)), (104, (2,)))
+    assert cfg.window_groups == ((160, (0,)), (128, (1,)), (112, (2,)))
 
     # auto-tuned scan chunk (docs/PERF.md round 3): 7 steps of 29 at
     # padded 203 — 1% padding, single-device, no remat at this scale
