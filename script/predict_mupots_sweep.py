@@ -61,9 +61,18 @@ def worker_env(slot: int, platform: str = "tpu") -> dict:
         env.setdefault("TPU_CHIPS_PER_PROCESS_BOUNDS", "1,1,1")
     # all workers share one compilation cache: TS sequences bucket to
     # the same padded shapes, so later workers hit the earlier
-    # workers' compiles
-    env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                   os.path.join(REPO, ".jax_cache"))
+    # workers' compiles. CPU workers get the host-fingerprinted CPU
+    # cache (stale cross-host CPU AOT entries SIGABRT on load,
+    # mhmocap_tpu/cache.py).
+    if platform == "cpu":
+        if REPO not in sys.path:
+            sys.path.insert(0, REPO)
+        from mhmocap_tpu.cache import cpu_cache_dir
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       cpu_cache_dir(REPO))
+    else:
+        env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       os.path.join(REPO, ".jax_cache"))
     return env
 
 

@@ -104,8 +104,14 @@ def main():
         # the container's sitecustomize force-registers the remote
         # backend, so the env var alone is not enough (conftest.py)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        # host-fingerprinted CPU cache (stale cross-host CPU AOT
+        # entries SIGABRT on load, mhmocap_tpu/cache.py)
+        from mhmocap_tpu.cache import cpu_cache_dir
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir(REPO)
         import jax
         jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     data_path = os.path.join(args.workdir, "data")
     out_path = os.path.join(args.workdir, "out")

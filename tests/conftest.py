@@ -29,8 +29,16 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache: the engine programs take tens of seconds
 # of XLA:CPU compilation each; repeat suite runs skip them entirely.
-_cache = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache_cpu")
+# Host-fingerprinted: stale entries from a different machine SIGABRT
+# on load (mhmocap_tpu/cache.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+from mhmocap_tpu.cache import cpu_cache_dir  # noqa: E402
+
+_cache = cpu_cache_dir(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
