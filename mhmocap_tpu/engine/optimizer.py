@@ -66,15 +66,19 @@ class EngineConfig:
     num_frames: int                      # real T (before padding)
     chunk: int = 16                      # frames per scan step
     window: int = 128                    # raster crop window (shared)
-    # Per-PERSON raster windows (len num_people, multiples of 8).
-    # None = every person uses `window`. Far people project small, so
-    # sizing each person's crop to their own observed bbox need cuts
-    # the raster + window-loss work quadratically (the reference
-    # rasterizes the full image for everyone, optimizer.py:211-232;
-    # the window crop is this engine's documented deviation and the
-    # per-person sizes change nothing semantically: the depth loss is
-    # a masked mean over the person's own eroded mask, and the
-    # silhouette loss carries an explicit outside-window term).
+    # Per-PERSON raster windows (len num_people; multiples of 8 for
+    # the Pallas kernel — the Predictor derives multiples of 16 so
+    # the kernel's x-cells stay at their 16 px optimum). None = every
+    # person uses `window`. Far people project small, so sizing each
+    # person's crop to their own observed bbox need cuts the
+    # area-proportional work (window losses, gathers, buffers; the
+    # streaming kernel itself is schedule-gated — docs/PERF.md). The
+    # reference rasterizes the full image for everyone
+    # (optimizer.py:211-232); the window crop is this engine's
+    # documented deviation and the per-person sizes change nothing
+    # semantically: the depth loss is a masked mean over the person's
+    # own eroded mask, and the silhouette loss carries an explicit
+    # outside-window term.
     windows: Optional[Tuple[int, ...]] = None
     face_chunk: int = 128
     joint_confidence_thr: float = 0.5
