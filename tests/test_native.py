@@ -85,3 +85,16 @@ def test_fillin_iterates_to_full(rng):
         xx, m = native.fillin_values(xx, m, 7)
         it += 1
     assert m.min() == 1.0
+
+
+def test_cpu_cache_dir_fingerprint():
+    """Host-fingerprinted CPU cache dirs: stable within a host, keyed
+    under the given root, 8-hex suffix (mhmocap_tpu/cache.py)."""
+    import re
+    from mhmocap_tpu.cache import cpu_cache_dir, host_cpu_fingerprint
+
+    fp = host_cpu_fingerprint()
+    assert re.fullmatch(r"[0-9a-f]{8}", fp)
+    assert host_cpu_fingerprint() == fp          # deterministic
+    d = cpu_cache_dir("/some/root")
+    assert d == f"/some/root/.jax_cache_cpu_{fp}"
