@@ -98,3 +98,31 @@ def test_cpu_cache_dir_fingerprint():
     assert host_cpu_fingerprint() == fp          # deterministic
     d = cpu_cache_dir("/some/root")
     assert d == f"/some/root/.jax_cache_cpu_{fp}"
+
+
+def test_cpu_cache_fingerprint_keys_on_model_and_xla_version():
+    """Round-3 verdict weak #2: equal CPU feature FLAGS are not enough
+    — XLA's target-machine tuning attributes (+prefer-no-gather, …)
+    vary with the CPU microarchitecture and the XLA build at equal
+    flag sets. The digest must change when the model name or the
+    jaxlib version changes, flags held fixed."""
+    from mhmocap_tpu.cache import host_cpu_fingerprint
+
+    base = host_cpu_fingerprint(flags="avx2 sse4_2",
+                                model="Xeon Platinum 8481C",
+                                xla_version="0.4.30")
+    assert base == host_cpu_fingerprint(
+        flags="avx2 sse4_2", model="Xeon Platinum 8481C",
+        xla_version="0.4.30")                    # deterministic
+    assert base != host_cpu_fingerprint(
+        flags="avx2 sse4_2", model="EPYC 9B14", xla_version="0.4.30")
+    assert base != host_cpu_fingerprint(
+        flags="avx2 sse4_2", model="Xeon Platinum 8481C",
+        xla_version="0.4.31")
+    assert base != host_cpu_fingerprint(
+        flags="avx2", model="Xeon Platinum 8481C",
+        xla_version="0.4.30")
+    # live digest uses the live jaxlib version: pinning a different
+    # version must move it
+    assert host_cpu_fingerprint() != host_cpu_fingerprint(
+        xla_version="not-a-real-version")
