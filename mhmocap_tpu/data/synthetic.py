@@ -56,11 +56,48 @@ def generate_sequence(
     num_vertices: int = 1024,
     mupots_gt: bool = False,
     track_dropout: float = 0.0,
+    degradations: Optional[dict] = None,
 ):
     """Write a synthetic sequence tree under `root`.
 
     Returns a dict with the ground-truth arrays (poses_T, poses_smpl,
     betas, scene depth, cam_K, and the model) for use in assertions.
+
+    `degradations` (default None = the clean fixture used by the
+    golden-accuracy sweeps) turns on adversarial input structure so
+    the ingestion robustness machinery — inherited behavior-for-
+    behavior from the reference — is exercised END-TO-END instead of
+    only unit-tested (reference counterparts cited per key):
+
+    * ``crossing_paths`` (bool): people swap sides over the sequence,
+      so their projections CROSS — the nearer body occludes the
+      farther one in the rendered depth/instance maps (overlapping
+      masks, occlusion-ordered silhouettes; reference
+      optimizer.py:209-232 renders occlusion-ordered too).
+    * ``occlusion_conf`` (bool, default True when any degradation is
+      on): AlphaPose joint confidences are depth-tested against the
+      rendered scene — joints hidden behind a nearer person (or
+      outside the frame) get low confidence, and detections with < 5
+      confident joints are DROPPED like a real detector miss
+      (exercises lagged-track imputation, datautils.py:326-333, and
+      the in-frame visibility gate, datautils.py:441-447).
+    * ``id_switch_spans`` (list of (t0, t1)): within each span the
+      AlphaPose track ids of persons 0 and 1 are SWAPPED, emulating a
+      tracker identity switch (exercises the velocity-gated Hungarian
+      re-assignment, reference alphapose.py:119-262).
+    * ``detection_dropout`` (float): per-(frame, person) probability
+      of omitting the AlphaPose entry entirely.
+    * ``romp_person_dropout`` (float): per-(frame, person) probability
+      of omitting that person from the frame's ROMP npz (exercises
+      SMPL nearest-valid-frame imputation, datautils.py:326-359).
+    * ``romp_missing_frames`` (float): fraction of frames whose ROMP
+      npz is EMPTY (zero detections).
+    * ``enter_leave`` (bool): person 0 walks out of the camera
+      frustum mid-sequence and returns (~15% of frames off-screen);
+      its detections/ROMP rows vanish while it is out (exercises the
+      low-visibility handling and per-frame validity gating without
+      tripping the 1/8 min-visibility person drop,
+      datautils.py:450-456).
     """
     import jax.numpy as jnp
     from PIL import Image
@@ -77,16 +114,43 @@ def generate_sequence(
                 "Mask2Former_Instances"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
 
+    deg = dict(degradations or {})
+    occl_conf = deg.get("occlusion_conf", bool(deg))
+    id_switch_spans = [tuple(s) for s in deg.get("id_switch_spans", [])]
+    detection_dropout = float(deg.get("detection_dropout", 0.0)) \
+        or track_dropout
+    romp_person_dropout = float(deg.get("romp_person_dropout", 0.0))
+    n_missing = int(round(float(deg.get("romp_missing_frames", 0.0))
+                          * num_frames))
+    romp_empty_frames = set(
+        rng.choice(num_frames, size=n_missing, replace=False).tolist()
+        if n_missing else [])
+
     T, N = num_frames, num_people
     # Ground-truth trajectories: people at different depths drifting
     poses_T = np.zeros((T, N, 1, 3), np.float32)
+    tt = np.linspace(0, 1, T)
     for n in range(N):
         z0 = 3.0 + 1.5 * n
         x0 = -0.8 + 1.6 * n / max(N - 1, 1)
-        tt = np.linspace(0, 1, T)
-        poses_T[:, n, 0, 0] = x0 + 0.3 * np.sin(2 * np.pi * tt + n)
+        if deg.get("crossing_paths"):
+            # swap sides over the sequence: projections cross near the
+            # midpoint, the nearer person occluding the farther one
+            poses_T[:, n, 0, 0] = x0 + (-2 * x0) * tt \
+                + 0.1 * np.sin(2 * np.pi * tt + n)
+        else:
+            poses_T[:, n, 0, 0] = x0 + 0.3 * np.sin(2 * np.pi * tt + n)
         poses_T[:, n, 0, 1] = 0.35  # pelvis height above origin
         poses_T[:, n, 0, 2] = z0 + 0.4 * np.cos(2 * np.pi * tt + n)
+    if deg.get("enter_leave"):
+        # person 0 walks out of the frustum and back: a smooth x bump
+        # over ~15% of the frames mid-sequence (at z ~= 3 the FOV-60
+        # half-width is ~1.7 m; +4 m is far off-screen)
+        t0, t1 = int(0.40 * T), max(int(0.40 * T) + 2, int(0.55 * T))
+        bump = np.zeros(T, np.float32)
+        span = np.linspace(0, np.pi, t1 - t0)
+        bump[t0:t1] = np.sin(span) ** 2
+        poses_T[:, 0, 0, 0] += 4.0 * bump
 
     poses_smpl = np.zeros((T, N, 72), np.float32)
     # wave arms / legs
@@ -161,18 +225,39 @@ def generate_sequence(
             os.path.join(root, "Mask2Former_Instances", name + ".png"))
 
         # AlphaPose entries (17 COCO keypoints ~ our joints_alphapose)
+        in_switch_span = any(t0 <= t < t1 for t0, t1 in id_switch_spans)
         for n in range(N):
-            if track_dropout > 0 and rng.rand() < track_dropout:
+            if detection_dropout > 0 and rng.rand() < detection_dropout:
                 continue
             uv = uv_j_all[t, n]
-            kpts = np.concatenate(
-                [uv, 0.95 * np.ones((len(uv), 1))], axis=1)
+            if occl_conf:
+                # depth-test each joint against the rendered frame: a
+                # joint behind a nearer surface (another person) or
+                # outside the image gets detector-miss confidence
+                ju = np.round(uv[:, 0]).astype(int)
+                jv = np.round(uv[:, 1]).astype(int)
+                inside = (ju >= 0) & (ju < W) & (jv >= 0) & (jv < H)
+                jz = joints_ap[t, n, :, 2]
+                zbuf = depth[np.clip(jv, 0, H - 1),
+                             np.clip(ju, 0, W - 1)]
+                occluded = inside & (zbuf < jz - 0.3)
+                conf = np.where(inside & ~occluded, 0.95,
+                                np.where(occluded, 0.25, 0.0))
+                if int((conf > 0.5).sum()) < 5:
+                    continue  # a real detector would miss this person
+                kpts = np.concatenate([uv, conf[:, None]], axis=1)
+            else:
+                kpts = np.concatenate(
+                    [uv, 0.95 * np.ones((len(uv), 1))], axis=1)
+            idx = n + 1
+            if in_switch_span and n in (0, 1) and N >= 2:
+                idx = 2 - n  # swap the track ids of persons 0 and 1
             alphapose_json.append({
                 "image_id": name + ".jpg",
                 "category_id": 1,
                 "keypoints": [float(v) for v in kpts.reshape(-1)],
                 "score": 2.5,
-                "idx": n + 1,
+                "idx": idx,
             })
 
         # ROMP npz (new single-dict format), slightly noisy params
@@ -187,14 +272,28 @@ def generate_sequence(
                       + 2 * K[0, 2] / max(image_size) - W / max(image_size),
                       2 * f * poses_T[t, n, 0, 1] / (max(image_size) * z)
                       + 2 * K[1, 2] / max(image_size) - H / max(image_size))
+        present = np.ones(N, bool)
+        if t in romp_empty_frames:
+            present[:] = False
+        elif romp_person_dropout > 0 or deg.get("enter_leave"):
+            for n in range(N):
+                if romp_person_dropout > 0 \
+                        and rng.rand() < romp_person_dropout:
+                    present[n] = False
+                # a person fully outside the frustum is never detected
+                u_c = uv_j_all[t, n, :, 0]
+                if u_c.min() > W + 5 or u_c.max() < -5:
+                    present[n] = False
         np.savez(
             os.path.join(root, "ROMP_Predictions", name + ".npz"),
             results={
-                "cam": cam,
-                "smpl_thetas": poses_smpl[t]
-                + 0.02 * rng.randn(N, 72).astype(np.float32),
-                "smpl_betas": betas[0]
-                + 0.02 * rng.randn(N, 10).astype(np.float32),
+                "cam": cam[present],
+                "smpl_thetas": (poses_smpl[t]
+                                + 0.02 * rng.randn(N, 72)
+                                .astype(np.float32))[present],
+                "smpl_betas": (betas[0]
+                               + 0.02 * rng.randn(N, 10)
+                               .astype(np.float32))[present],
             })
 
     with open(os.path.join(root, "AlphaPose",
