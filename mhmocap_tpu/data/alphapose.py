@@ -104,6 +104,7 @@ def tracks_to_array(
     frame_ids=None,
     max_num_people: Optional[int] = None,
     verbose: bool = False,
+    image_names=None,
 ) -> np.ndarray:
     """Reconcile fragmented tracklets into a dense (T, N, 17, 3) array.
 
@@ -119,14 +120,20 @@ def tracks_to_array(
         pose of each empty slot, accepted only inside a velocity-gated
         tracking region (3 * dt * |velocity|).
 
-    Reference quirks reproduced: (1) the time axis covers frames WITH
-    surviving detections only (reference T = len(images_set),
-    alphapose.py:149), and the final `pose2d[frame_ids]` slice indexes
-    it positionally — a frame with zero surviving detections would
-    shift the tail in BOTH implementations; (2) a slot whose velocity
-    EMA is zero (never matched, or fully decayed) has a zero-width
-    re-acquisition gate and can only be recovered through its track
-    id, exactly as in the reference's `3 * delta_t * |velocity|` test.
+    Reference quirks: (1) a slot whose velocity EMA is zero (never
+    matched, or fully decayed) has a zero-width re-acquisition gate
+    and can only be recovered through its track id, exactly as in the
+    reference's `3 * delta_t * |velocity|` test (reproduced). (2) The
+    reference's time axis covers frames WITH surviving detections
+    only (T = len(images_set), alphapose.py:149), so its final
+    positional `pose2d[frame_ids]` slice SHIFTS the tail — and then
+    indexes out of bounds — whenever any frame has zero surviving
+    detections (total detector dropout). DELIBERATE DEVIATION for
+    robustness: pass `image_names` (the full sorted frame-key list
+    from the image directory) and absent frames become zero-confidence
+    rows at their correct positions instead; gap-free inputs (every
+    reference-valid input) are bit-identical either way. Without
+    `image_names` the reference's present-frames-only axis is kept.
     """
     annot = {k: dict(v) for k, v in annot.items()}  # shallow copy
     images = sorted(annot.keys())
@@ -206,6 +213,19 @@ def tracks_to_array(
                 slot_of[cand_keys[c]] = n
                 del frame[cand_keys[c]]
 
+    if image_names is not None:
+        # re-anchor the present-frames-only axis onto the caller's
+        # full frame list: zero-detection frames become zero rows.
+        # If the JSON's image_id scheme doesn't match the caller's
+        # names at all, keep the positional axis (re-anchoring onto
+        # nothing would zero every frame).
+        pos = {k: i for i, k in enumerate(image_names)}
+        if not images or any(k in pos for k in images):
+            full = np.zeros((len(image_names), N, 17, 3), np.float32)
+            for t, img_key in enumerate(images):
+                if img_key in pos:
+                    full[pos[img_key]] = pose2d[t]
+            pose2d = full
     if frame_ids is not None:
         pose2d = pose2d[np.asarray(frame_ids, int)]
     return pose2d

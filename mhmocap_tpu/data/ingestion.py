@@ -431,12 +431,14 @@ def load_sequence(
 ) -> SequenceArrays:
     """Load and align a full sequence (datautils.py:364-512 + the
     dataset constructor 515-641). Returns a `SequenceArrays`."""
-    names = sorted(os.path.splitext(os.path.basename(p))[0]
-                   for p in glob.glob(
-                       os.path.join(data_root, images_path, "*.jpg")))
+    all_names = sorted(os.path.splitext(os.path.basename(p))[0]
+                       for p in glob.glob(
+                           os.path.join(data_root, images_path,
+                                        "*.jpg")))
     if frame_ids is not None and len(frame_ids) > 0:
-        names = [names[i] for i in frame_ids]
+        names = [all_names[i] for i in frame_ids]
     else:
+        names = all_names
         frame_ids = range(len(names))
 
     images = load_images(
@@ -470,9 +472,16 @@ def load_sequence(
         [os.path.join(data_root, smpl_pred_path, s + ".npz")
          for s in names])
 
+    # image_names anchors the track array to the FULL frame list so a
+    # frame with zero surviving detections (total detector dropout)
+    # becomes a zero row instead of shifting the tail (a deliberate
+    # robustness deviation — the reference shifts and then crashes,
+    # see tracks_to_array)
     pose2d = tracks_to_array(annot, frame_ids=list(frame_ids),
                              max_num_people=max_num_people,
-                             verbose=verbose)
+                             verbose=verbose,
+                             image_names=[n + ".jpg"
+                                          for n in all_names])
     pose2d[..., 0:2] *= resize_factor
 
     # joints outside the frame are not visible (datautils.py:441-447)

@@ -113,6 +113,43 @@ def test_track_reconciliation_with_dropout(tmp_path):
                     < pose2d[t, 1, :, 0].mean())
 
 
+def test_tracks_to_array_zero_detection_frames():
+    """A frame with ZERO surviving detections (total detector dropout)
+    must become a zero-confidence row at its correct position when
+    `image_names` anchors the time axis — the reference's
+    present-frames-only axis shifts the tail and then indexes out of
+    bounds on this input (deliberate robustness deviation,
+    alphapose.py docstring)."""
+    names = [f"img_{t:06d}.jpg" for t in range(6)]
+    pose = np.zeros((17, 3), np.float32)
+    pose[:, 0] = 40.0
+    pose[:, 1] = np.arange(17) * 3.0
+    pose[:, 2] = 0.9
+    # frames 2 and 5 (the LAST) have no detections at all
+    annot = {names[t]: {1: pose + t} for t in (0, 1, 3, 4)}
+
+    out = AP.tracks_to_array(annot, frame_ids=list(range(6)),
+                             image_names=names)
+    assert out.shape == (6, 1, 17, 3)
+    for t in (0, 1, 3, 4):
+        np.testing.assert_array_equal(out[t, 0], pose + t)  # aligned
+    assert (out[2] == 0).all() and (out[5] == 0).all()
+
+    # gap-free inputs are bit-identical with and without image_names
+    annot_full = {names[t]: {1: pose + t} for t in range(6)}
+    a = AP.tracks_to_array(annot_full, frame_ids=list(range(6)),
+                           image_names=names)
+    b = AP.tracks_to_array(annot_full, frame_ids=list(range(6)))
+    np.testing.assert_array_equal(a, b)
+
+    # unknown id scheme: fall back to the positional axis
+    annot_png = {k.replace(".jpg", ".png"): v
+                 for k, v in annot_full.items()}
+    c = AP.tracks_to_array(annot_png, frame_ids=list(range(6)),
+                           image_names=names)
+    np.testing.assert_array_equal(c, b)
+
+
 def test_split_instance_masks_golden():
     inst = np.zeros((1, 4, 4), np.uint8)
     inst[0, 0, 0] = 1
