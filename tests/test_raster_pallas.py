@@ -46,12 +46,17 @@ def test_pallas_matches_brute_triangles():
 
 
 def test_pallas_matches_brute_body():
-    model = make_synthetic_smpl(num_vertices=512, seed=1)
-    K = jnp.asarray(intrinsics_from_fov((64, 64), 60.0))
+    # 48 px / 384 verts: same structural coverage (multi-chunk
+    # schedule, real body surface, z-buffer ties) at ~2x less
+    # interpret-mode cost than the former 64 px / 512-vert shape —
+    # fast-tier latency (round-3 verdict weak #7); the 64 px shape
+    # lives on in the slow-tier preordered/triangle tests
+    model = make_synthetic_smpl(num_vertices=384, seed=1)
+    K = jnp.asarray(intrinsics_from_fov((48, 48), 60.0))
     out = smpl_forward(model, jnp.zeros((1, 10)), jnp.zeros((1, 72)),
                        transl=jnp.asarray([[0.0, 0.3, 3.0]]))
     v = out["verts"][0]
-    st = R.RasterSettings(image_size=(64, 64), window=64,
+    st = R.RasterSettings(image_size=(48, 48), window=48,
                           use_tiles=False, face_chunk=64)
     o_ref = R.rasterize_body(v, model.faces, K, st)
     o_pal = RP.rasterize_body_pallas(v, model.faces, K, st)
@@ -67,13 +72,18 @@ def test_pallas_gradients_match_brute():
     """Compare d(loss)/d(verts) of the custom-VJP Pallas kernel
     against JAX AD through the brute-force raster."""
     verts, faces = _tri_mesh()
-    st = R.RasterSettings(image_size=(64, 64), window=64,
+    # 32 px window: 8 grid cells instead of 32 (~4x less
+    # interpret-mode cost, round-3 verdict weak #7); both triangles
+    # project inside [12, 22) px so the coverage structure is intact
+    K32 = np.array([[32.0, 0, 16], [0, 32.0, 16], [0, 0, 1]],
+                   np.float32)
+    st = R.RasterSettings(image_size=(32, 32), window=32,
                           use_tiles=False, face_chunk=2)
-    target = np.zeros((64, 64), np.float32)
-    target[20:40, 20:40] = 1.0
+    target = np.zeros((32, 32), np.float32)
+    target[10:20, 10:20] = 1.0
 
     def loss_with(raster_fn, v):
-        out = raster_fn(v, jnp.asarray(faces), jnp.asarray(K64), st)
+        out = raster_fn(v, jnp.asarray(faces), jnp.asarray(K32), st)
         sil_l = jnp.sum(jnp.square(out["sil"] - jnp.asarray(target)))
         zb = jnp.where(jnp.isfinite(out["zbuf"]), out["zbuf"], 0.0)
         return sil_l + 0.1 * jnp.sum(zb)
