@@ -52,6 +52,85 @@ def test_single_person():
 
 
 @pytest.mark.slow
+def test_low_visibility_person_is_dropped_and_fit_completes():
+    """A person detected in fewer than 1/8 of the frames must be
+    DROPPED by ingestion (reference datautils.py:450-456) and the fit
+    must complete on the survivors — GT/instances still contain the
+    third person, so this also exercises N_pred < N_raw seg/ROMP
+    realignment."""
+    import json
+    import os
+
+    root = tempfile.mkdtemp()
+    model = make_synthetic_smpl(num_vertices=256, seed=6)
+    generate_sequence(root, num_frames=12, num_people=3,
+                      image_size=(64, 64), model=model, seed=6)
+    # keep person idx 3's detections only in frame 0 (1/12 < 1/8)
+    ap = os.path.join(root, "AlphaPose", "alphapose-results.json")
+    with open(ap) as f:
+        entries = json.load(f)
+    entries = [e for e in entries
+               if e["idx"] != 3 or e["image_id"] == "img_000000.jpg"]
+    with open(ap, "w") as f:
+        json.dump(entries, f)
+
+    def jf(b, p):
+        out = smpl_forward(model, jnp.asarray(b), jnp.asarray(p))
+        return np.asarray(out["joints_alphapose"])
+
+    seq = load_sequence(root, jf, resize_factor=1.0,
+                        post_process_depth=False,
+                        renormalize_depth=False)
+    assert seq.num_people == 2          # third person dropped
+    assert seq.poses_smpl.shape[1] == 2  # ROMP realigned to survivors
+    assert seq.seg_mask.shape[1] == 2
+    out = Predictor(seq, model, tempfile.mkdtemp(), _args()).run()
+    ov = out["stage1_optvar"]
+    assert ov["poses_T"].shape == (12, 2, 1, 3)
+    assert np.isfinite(ov["poses_T"]).all()
+
+
+@pytest.mark.slow
+def test_romp_overdetection_is_trimmed():
+    """ROMP frames carrying MORE bodies than tracked people (spurious
+    detections) must be Hungarian-trimmed to the tracked set
+    (assign_smpl_to_poses pads to M > N then selects the best N, like
+    the reference's per-frame `smpl[key][order]`)."""
+    import os
+
+    root = tempfile.mkdtemp()
+    model = make_synthetic_smpl(num_vertices=256, seed=6)
+    generate_sequence(root, num_frames=4, num_people=2,
+                      image_size=(64, 64), model=model, seed=6)
+    # append a spurious far-offset third body to every ROMP frame
+    rd = os.path.join(root, "ROMP_Predictions")
+    for name in sorted(os.listdir(rd)):
+        p = os.path.join(rd, name)
+        d = np.load(p, allow_pickle=True)["results"].item()
+        ghost_cam = d["cam"][:1] + np.float32([0.0, 5.0, 5.0])
+        np.savez(p, results={
+            "cam": np.concatenate([d["cam"], ghost_cam]),
+            "smpl_thetas": np.concatenate(
+                [d["smpl_thetas"], d["smpl_thetas"][:1]]),
+            "smpl_betas": np.concatenate(
+                [d["smpl_betas"], d["smpl_betas"][:1]]),
+        })
+
+    def jf(b, p):
+        out = smpl_forward(model, jnp.asarray(b), jnp.asarray(p))
+        return np.asarray(out["joints_alphapose"])
+
+    seq = load_sequence(root, jf, resize_factor=1.0,
+                        post_process_depth=False,
+                        renormalize_depth=False)
+    assert seq.num_people == 2
+    assert seq.poses_smpl.shape[1] == 2   # ghost trimmed
+    assert np.isfinite(seq.poses_smpl).all()
+    out = Predictor(seq, model, tempfile.mkdtemp(), _args()).run()
+    assert np.isfinite(out["stage1_optvar"]["poses_T"]).all()
+
+
+@pytest.mark.slow
 def test_single_frame():
     """num_frames=1: the reference documents that temporal losses are
     skipped (optimizer.py:175-177); here the pair-validity masks make

@@ -86,6 +86,43 @@ def test_pose_error_3dproj_matching_resolves_swaps():
     assert out["abs_dist"].max() < 1e-4
 
 
+def test_pose_error_3dproj_fewer_predictions_than_gt():
+    """K=3 GT people vs N=2 predictions (e.g. a low-visibility person
+    dropped by ingestion): the Hungarian match pairs the 2 real
+    predictions with their GT, the unmatched GT row contributes zero
+    valid joints, and every output stays finite."""
+    rng = np.random.RandomState(2)
+    T, N, KG = 3, 2, 3
+    K = np.array([[100.0, 0, 64], [0, 100.0, 64], [0, 0, 1]],
+                 np.float32)
+    joints_local = 0.2 * rng.randn(T, N, 17, 3).astype(np.float32)
+    poses_T = np.zeros((T, N, 1, 3), np.float32)
+    poses_T[:, 0, :, 0] = -1.0
+    poses_T[:, 1, :, 0] = 1.0
+    poses_T[..., 2] = 4.0
+    pred = joints_local + poses_T
+    # GT = the 2 predicted people + a third far-away person
+    extra = 0.2 * rng.randn(T, 1, 17, 3).astype(np.float32) \
+        + np.float32([2.5, 0.0, 6.0])
+    gt17 = np.concatenate([pred[:, :, :17], extra], axis=1)
+    vis17 = np.ones((T, KG, 17, 1), np.float32)
+    optvar = {
+        "poses_T": poses_T,
+        "scale_factor": np.ones((1, N, 1, 1), np.float32),
+        "poses_smpl": np.zeros((T, N, 72), np.float32),
+        "betas_smpl": np.zeros((T, N, 10), np.float32),
+    }
+    out = M.pose_error_3dproj(
+        optvar, gt17, vis17,
+        lambda b, p: joints_local.reshape(T * N, 17, 3), K)
+    for v in out.values():
+        assert np.isfinite(v).all()
+    # exactly N=2 of the KG=3 slots matched per frame
+    assert (out["valid_joints"].max(axis=2) > 0).sum(axis=1).max() <= N
+    matched = out["valid_joints"].max(axis=2) > 0
+    assert out["abs_dist"][matched].max() < 1e-4  # real pairs exact
+
+
 def test_weighted_average_and_markdown(tmp_path):
     res = {"pck": [50.0, 70.0]}
     append_weighted_average(res, [100, 300])
