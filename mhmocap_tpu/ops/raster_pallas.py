@@ -127,6 +127,16 @@ EVAL_MODE = "vpu"
 # "bf16" (script/bench_kernel.py).
 BWD_MATMUL_MODE = "split"
 
+# Forward silhouette accumulation (microbenchmark knob,
+# script/bench_kernel.py 'silprobe'). "exact" (shipped):
+# log_sigmoid(d|d|/blur) — one transcendental chain per (pixel, face)
+# pair, the largest single term in the VPU op count (~23 of 56
+# ops/pair in the roofline model). "off": a single fused
+# multiply-add placeholder with the same operands and accumulator
+# traffic — WRONG outputs, exists only to measure the
+# transcendental's true time share on hardware.
+SIL_ACCUM_MODE = "exact"
+
 
 def _interpret() -> bool:
     """Run in interpreter mode off-TPU (CPU tests)."""
@@ -418,8 +428,11 @@ def _fwd_kernel(sched_ref, counts_ref, agg_ref, mat_ref, meta_ref,
             zmin_l = jnp.where(better, zc, zmin_l)
             gid_l = jnp.where(better, base + lane, gid_l)
             # log(1 - sigmoid(-d|d|/blur)) = log_sigmoid(d|d|/blur)
-            lk_acc = lk_acc + jax.nn.log_sigmoid(
-                (d * jnp.abs(d)) * inv_blur)
+            if SIL_ACCUM_MODE == "off":   # probe only, wrong outputs
+                lk_acc = lk_acc + (d * jnp.abs(d)) * inv_blur
+            else:
+                lk_acc = lk_acc + jax.nn.log_sigmoid(
+                    (d * jnp.abs(d)) * inv_blur)
             return zmin_l, gid_l, lk_acc
 
         if not X_SKIP:

@@ -48,16 +48,19 @@ import jax.numpy as jnp  # noqa: E402
 from mhmocap_tpu.parallel.hlo_audit import extract_collectives  # noqa: E402
 
 
-def build_problem(full_smpl: bool):
-    """Production TIME/raster shape (T=201 -> padded 208, chunk 26 — the
-    Predictor SPMD auto-chunk tune at 8 devices — side 256); the SMPL
-    vertex count is structural for every collective except the
-    filtered-target refresh, which --full-smpl checks at V=6890."""
+def build_problem(full_smpl: bool, T: int = 201):
+    """Production TIME/raster shape (default T=201 -> padded 208,
+    chunk 26 — the Predictor SPMD auto-chunk tune at 8 devices — side
+    256); the SMPL vertex count is structural for every collective
+    except the filtered-target refresh, which --full-smpl checks at
+    V=6890; --frames checks the T-scaling claim (the scene-median
+    all-reduce must stay O(H*W), only the pose all-gather may grow
+    with T)."""
     import bench
     from mhmocap_tpu.engine import optimizer as E
     from mhmocap_tpu.models.synthetic import make_synthetic_smpl
 
-    T, N, side = 201, 3, 256
+    N, side = 3, 256
     if full_smpl:
         seq, model = bench.make_ts1_like_seq(T=T, N=N, side=side)
         window, windows = 160, (160, 128, 112)
@@ -67,11 +70,17 @@ def build_problem(full_smpl: bool):
         seq, _ = bench.make_ts1_like_seq(T=T, N=N, side=side)
         window, windows = 128, None
 
+    # the Predictor SPMD tuner's layout at this T: chunk minimizing
+    # padding under padded % (8 * chunk) == 0, preferring larger chunk
+    chunk = min(range(16, 49),
+                key=lambda c: (-(-T // (8 * c)) * 8 * c, -c))
+    bucket = 8 * chunk
     cfg = E.EngineConfig(
         image_size=(side, side), num_people=N, num_frames=T,
-        chunk=26, frame_bucket=208, window=window, windows=windows,
-        face_chunk=128)
-    assert cfg.padded_frames == 208
+        chunk=chunk, frame_bucket=bucket, window=window,
+        windows=windows, face_chunk=128)
+    if T == 201:
+        assert cfg.padded_frames == 208 and chunk == 26
     params, _, _ = E.init_params(model, seq.pose2d, seq.poses_smpl,
                                  seq.betas_smpl, seq.cam["K"], cfg,
                                  num_iter=2)
@@ -86,12 +95,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--full-smpl", action="store_true",
                     help="V=6890 production body (slow compile)")
+    ap.add_argument("--frames", type=int, default=201,
+                    help="sequence length T (tuned chunk/bucket follow)")
     args = ap.parse_args()
 
     from mhmocap_tpu.engine import optimizer as E
     from mhmocap_tpu.parallel import spmd
 
-    model, cfg, params, data, aux, coefs = build_problem(args.full_smpl)
+    model, cfg, params, data, aux, coefs = build_problem(
+        args.full_smpl, T=args.frames)
     mesh = spmd.make_mesh()
     opt = E.make_stage1_optimizer()
     params_s = spmd.shard_params(params, mesh)
@@ -106,7 +118,8 @@ def main():
         coefs, cfg, mesh, optimize_scale=True)
     compiled = lowered.compile()
     print(f"# lower+compile: {time.time() - t0:.1f}s "
-          f"(V={model.num_vertices}, T=201->208, chunk=26, side=256, "
+          f"(V={model.num_vertices}, T={args.frames}->"
+          f"{cfg.padded_frames}, chunk={cfg.chunk}, side=256, "
           f"window={cfg.window})", file=sys.stderr)
 
     colls = extract_collectives(compiled.as_text())
@@ -134,6 +147,9 @@ def main():
 
     print(json.dumps({
         "v": model.num_vertices,
+        "t": args.frames,
+        "padded_frames": cfg.padded_frames,
+        "chunk": cfg.chunk,
         "collective_total_bytes_per_device": grand,
         "by_kind": {k: sum(b for _, b in v)
                     for k, v in by_kind.items()},

@@ -339,7 +339,8 @@ def main():
     # variant's FACE_CHUNK)
     defaults = {k: getattr(RP, k) for k in
                 ("FACE_CHUNK", "X_SKIP", "EVAL_MODE",
-                 "MATMUL_PRECISION", "BWD_MATMUL_MODE")}
+                 "MATMUL_PRECISION", "BWD_MATMUL_MODE",
+                 "SIL_ACCUM_MODE")}
     for variant in args.variants.split(","):
         if variant in ("pack", "packparts", "packstatic", "check"):
             continue
@@ -356,6 +357,11 @@ def main():
             RP.EVAL_MODE = "vpu"
         if variant.startswith("bwd"):
             RP.BWD_MATMUL_MODE = variant[3:]   # split | highest | bf16
+        if variant == "siloff":
+            # transcendental time-share probe: WRONG outputs (the
+            # printed sil/|g| will differ), time delta vs the shipped
+            # kernel is the log_sigmoid chain's true hardware cost
+            RP.SIL_ACCUM_MODE = "off"
         try:
             bench_variant(variant, verts, faces, K, rs)
         finally:
