@@ -63,6 +63,72 @@ def _restore_checkpoint(mgr, step: int, params_like, opt_state_like):
     return restored["params"], restored["opt_state"]
 
 
+def tune_time_layout(T: int, n_dev: int, user_bucket: int = 0,
+                     batch_size: int = 10):
+    """(chunk, frame_bucket) for a T-frame fit on an n_dev time mesh.
+
+    Chunk size only sets the scan step — the loss sums over all frames
+    either way — so it is tuned, not inherited from the reference's
+    batch_size (optimizer.py:375-602 iterates epochs in batches of
+    10). Padding frames are NOT free: the raster/SMPL compute runs on
+    them and only the loss is masked, so every padded frame is wasted
+    compute — under SPMD it is wasted on EVERY device.
+
+    * n_dev == 1, user_bucket set: the user pinned the compile
+      granularity — honor it verbatim, chunk = batch_size (legacy
+      behavior).
+    * n_dev == 1, no bucket: pick the chunk in [16, 48] minimizing
+      the padded length, preferring fewer scan steps on ties (a TPU
+      chunk sweep at TS1 scale, docs/PERF.md round 3, showed ~6 scan
+      steps/cycle beats 21 by ~6% in per-step fixed costs); padded
+      lands within 4% of T. Different sequence lengths then compile
+      per-length — they already did at bucket granularity — and the
+      persistent compile cache holds across runs.
+    * n_dev > 1: same padding-minimizing tune under the shard
+      constraint padded % (n_dev * chunk) == 0 (round 3 snapped chunk
+      to a power of two with bucket 64, padding T=201 to 256 — 21.5%
+      wasted shard compute; the tuner picks chunk 26 / padded 208,
+      3.4%). With a user bucket, padding lands on multiples of
+      lcm(n_dev * chunk, bucket): pick the chunk minimizing padded
+      length (small chunks allowed — exactness beats scan-step
+      cadence when the user pinned the bucket), then the
+      least-inflated bucket, then fewer steps; warn if the bucket
+      still inflates.
+    """
+    T = int(T)
+    if n_dev <= 1:
+        if user_bucket:
+            return max(int(batch_size), 2), user_bucket
+        cands = range(2, 9) if T < 32 else range(16, 49)
+        chunk = min(cands, key=lambda c: (-(-T // c) * c, -c))
+        return chunk, chunk
+
+    if user_bucket:
+        cands = range(2, 9) if T < 32 else range(2, 49)
+
+        def key(c):
+            b = int(np.lcm(c * n_dev, user_bucket))
+            return (-(-T // b) * b, b, -c)
+
+        chunk = min(cands, key=key)
+        bucket = int(np.lcm(chunk * n_dev, user_bucket))
+        if bucket > user_bucket:
+            import warnings
+            warnings.warn(
+                f"frame_bucket {user_bucket} inflated to its lcm "
+                f"{bucket} with devices*chunk = {n_dev * chunk}: "
+                f"sequences pad (and compile) at multiples of "
+                f"{bucket} frames. Pick a frame_bucket that is a "
+                f"multiple of {n_dev} to avoid the memory/compile "
+                f"surprise.", RuntimeWarning)
+        return chunk, bucket
+
+    cands = range(2, 9) if T < 32 else range(16, 49)
+    chunk = min(cands, key=lambda c: (
+        -(-T // (n_dev * c)) * (n_dev * c), -c))
+    return chunk, n_dev * chunk
+
+
 class Predictor:
     """Run the two-stage optimization for one ingested sequence."""
 
@@ -90,76 +156,14 @@ class Predictor:
             parsed_args, "save_visualizations", False)
 
         W, H = seq.image_size
-        chunk = max(int(getattr(parsed_args, "batch_size", 10)), 2)
         n_dev = jax.device_count()
         self.use_spmd = (bool(getattr(parsed_args, "spmd", n_dev > 1))
                          and n_dev > 1)
         user_bucket = int(getattr(parsed_args, "frame_bucket", 0) or 0)
-        if self.use_spmd:
-            # Chunk size only sets the scan step — the loss sums over
-            # all frames either way — so tune it to minimize padding
-            # under the shard constraint padded % (devices*chunk) == 0
-            # (with the reference's batch_size=10 verbatim the
-            # constraint never held and SPMD silently fell back to one
-            # chip). Padding frames are NOT free under SPMD: the
-            # raster/SMPL compute runs on them and only the loss is
-            # masked, so every padded frame is wasted shard compute.
-            # Round 3 snapped chunk to a power of two with bucket 64,
-            # which padded T=201 to 256 (21.5% waste); the tuner below
-            # picks the chunk in the single-device tuner's range that
-            # minimizes the padded length (T=201 on 8 devices -> chunk
-            # 26, padded 208, 3.4%), preferring fewer scan steps on
-            # ties like the single-device path.
-            T_real = int(seq.num_frames)
-            if user_bucket:
-                # honor the user's compile-granularity bucket: padding
-                # still lands on multiples of lcm(devices*chunk,
-                # bucket), so pick the chunk (small chunks allowed
-                # here — exactness beats scan-step cadence when the
-                # user pinned the bucket) minimizing padded length,
-                # then the least-inflated bucket, then fewer steps.
-                cands = range(2, 9) if T_real < 32 else range(2, 49)
-
-                def key(c):
-                    b = int(np.lcm(c * n_dev, user_bucket))
-                    return (-(-T_real // b) * b, b, -c)
-
-                chunk = min(cands, key=key)
-                bucket = int(np.lcm(chunk * n_dev, user_bucket))
-                if bucket > user_bucket:
-                    import warnings
-                    warnings.warn(
-                        f"frame_bucket {user_bucket} inflated to its "
-                        f"lcm {bucket} with devices*chunk = "
-                        f"{n_dev * chunk}: sequences pad (and compile) "
-                        f"at multiples of {bucket} frames. Pick a "
-                        f"frame_bucket that is a multiple of {n_dev} "
-                        f"to avoid the memory/compile surprise.",
-                        RuntimeWarning)
-            else:
-                cands = range(2, 9) if T_real < 32 else range(16, 49)
-                chunk = min(cands, key=lambda c: (
-                    -(-T_real // (n_dev * c)) * (n_dev * c), -c))
-                bucket = n_dev * chunk
-        elif user_bucket:
-            bucket = user_bucket
-        else:
-            # Single device: chunk is ONLY the scan step (the loss
-            # sums over all frames either way), so tune it for the
-            # cycle cadence instead of inheriting the reference's
-            # batch_size: a TPU chunk sweep at TS1 scale
-            # (docs/PERF.md round 3) showed ~6 scan steps/cycle beats
-            # 21 steps by ~6% (per-step fixed costs), and a tight
-            # padded length beats bucket-64 padding. Pick the chunk in
-            # [16, 48] that minimizes the padded length, preferring
-            # fewer steps on ties; padded lands within 4% of T.
-            # (Different sequence lengths then compile per-length —
-            # they already did at bucket granularity — and the
-            # persistent compile cache holds across runs.)
-            T_real = int(seq.num_frames)
-            cands = range(2, 9) if T_real < 32 else range(16, 49)
-            chunk = min(cands, key=lambda c: (-(-T_real // c) * c, -c))
-            bucket = chunk
+        chunk, bucket = tune_time_layout(
+            int(seq.num_frames), n_dev if self.use_spmd else 1,
+            user_bucket,
+            batch_size=int(getattr(parsed_args, "batch_size", 10)))
         self.cfg = E.EngineConfig(
             image_size=(W, H),
             num_people=seq.num_people,

@@ -70,11 +70,9 @@ def build_problem(full_smpl: bool, T: int = 201):
         seq, _ = bench.make_ts1_like_seq(T=T, N=N, side=side)
         window, windows = 128, None
 
-    # the Predictor SPMD tuner's layout at this T: chunk minimizing
-    # padding under padded % (8 * chunk) == 0, preferring larger chunk
-    chunk = min(range(16, 49),
-                key=lambda c: (-(-T // (8 * c)) * 8 * c, -c))
-    bucket = 8 * chunk
+    # the Predictor SPMD tuner's layout at this T
+    from mhmocap_tpu.engine.predictor import tune_time_layout
+    chunk, bucket = tune_time_layout(T, n_dev=8)
     cfg = E.EngineConfig(
         image_size=(side, side), num_people=N, num_frames=T,
         chunk=chunk, frame_bucket=bucket, window=window,

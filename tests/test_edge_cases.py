@@ -91,6 +91,46 @@ def test_low_visibility_person_is_dropped_and_fit_completes():
 
 
 @pytest.mark.slow
+def test_person_with_no_romp_in_any_frame():
+    """A person tracked in 2D but NEVER detected by ROMP has no valid
+    frame to impute from (datautils.py:336-352 scans for one and gives
+    up): their SMPL slots stay zero with valid == 0 and the fit must
+    still complete finitely on the pose-2D/silhouette evidence."""
+    import os
+
+    root = tempfile.mkdtemp()
+    model = make_synthetic_smpl(num_vertices=256, seed=6)
+    generate_sequence(root, num_frames=4, num_people=2,
+                      image_size=(64, 64), model=model, seed=6)
+    # strip person 1 (second row) from every ROMP frame
+    rd = os.path.join(root, "ROMP_Predictions")
+    for name in sorted(os.listdir(rd)):
+        p = os.path.join(rd, name)
+        d = np.load(p, allow_pickle=True)["results"].item()
+        np.savez(p, results={
+            "cam": d["cam"][:1],
+            "smpl_thetas": d["smpl_thetas"][:1],
+            "smpl_betas": d["smpl_betas"][:1],
+        })
+
+    def jf(b, p):
+        out = smpl_forward(model, jnp.asarray(b), jnp.asarray(p))
+        return np.asarray(out["joints_alphapose"])
+
+    seq = load_sequence(root, jf, resize_factor=1.0,
+                        post_process_depth=False,
+                        renormalize_depth=False)
+    assert seq.num_people == 2
+    # one person's SMPL is invalid in EVERY frame (no imputation source)
+    per_person_valid = (seq.valid_smpl[:, :, 0] > 0.5).all(axis=0)
+    assert per_person_valid.sum() == 1, seq.valid_smpl[:, :, 0]
+    out = Predictor(seq, model, tempfile.mkdtemp(), _args()).run()
+    ov = out["stage1_optvar"]
+    assert np.isfinite(ov["poses_T"]).all()
+    assert np.isfinite(ov["poses_smpl"]).all()
+
+
+@pytest.mark.slow
 def test_romp_overdetection_is_trimmed():
     """ROMP frames carrying MORE bodies than tracked people (spurious
     detections) must be Hungarian-trimmed to the tracked set

@@ -90,6 +90,55 @@ def test_spmd_auto_chunk_minimizes_padding(tiny_smpl, tmp_path):
         assert waste <= 0.05, (T, p.cfg.chunk, p.cfg.padded_frames)
 
 
+def test_tune_time_layout_properties():
+    """Property sweep of the (chunk, bucket) tuner over every length
+    up to a full MuPoTs-scale range, both mesh sizes, with and
+    without user buckets: shard divisibility always holds, padding
+    stays within the documented bounds, and a device-count-multiple
+    user bucket is never inflated."""
+    from mhmocap_tpu.engine.predictor import tune_time_layout
+
+    def padded(T, chunk, bucket):
+        step = int(np.lcm(chunk, bucket))
+        return -(-T // step) * step
+
+    for T in range(2, 3001):
+        # single device, auto bucket
+        c, b = tune_time_layout(T, 1)
+        p = padded(T, c, b)
+        assert p % c == 0 and b == c
+        if T >= 32:
+            assert 16 <= c <= 48
+            assert (p - T) / p <= 0.04, (T, c, p)
+
+        # 8-device mesh, auto bucket
+        c, b = tune_time_layout(T, 8)
+        p = -(-T // b) * b
+        assert b == 8 * c and p % (8 * c) == 0
+        if T >= 201:
+            assert (p - T) / p <= 0.05, (T, c, p)
+
+    import warnings as W
+    for T in (60, 201, 500):
+        # buckets expressible as 8 * chunk with chunk in [2, 48] (or a
+        # multiple of one, like 200 = 8 * 5 * 5) are honored EXACTLY,
+        # silently
+        for bucket in (16, 64, 200):
+            with W.catch_warnings():
+                W.simplefilter("error", RuntimeWarning)
+                c, b = tune_time_layout(T, 8, user_bucket=bucket)
+            assert b == bucket, (T, bucket, c, b)
+            assert b % (8 * c) == 0
+            assert (-(-T // b) * b) % (8 * c) == 0
+        # bucket 8 < 8 * min-chunk cannot be honored: inflates + warns
+        with W.catch_warnings(record=True) as caught:
+            W.simplefilter("always", RuntimeWarning)
+            c, b = tune_time_layout(T, 8, user_bucket=8)
+        assert b > 8 and b % (8 * c) == 0 and b % 8 == 0
+        assert any(issubclass(w.category, RuntimeWarning)
+                   for w in caught)
+
+
 def test_spmd_user_bucket_honored_exactly_when_possible(tiny_smpl,
                                                         tmp_path):
     """A user frame_bucket that is a multiple of the device count must
