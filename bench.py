@@ -71,11 +71,14 @@ def ts1_poses_T(T=T, N=N):
     return poses_T
 
 
-def make_ts1_like_seq(T=T, N=N, side=SIDE):
+def make_ts1_like_seq(T=T, N=N, side=SIDE, model=None):
     """Synthetic TS1-scale SequenceArrays (shapes and occupancy match
     the MuPoTs working configuration; content is generated, not
     loaded — the container has no MuPoTs data). Shared by bench.py and
-    script/profile_cycle.py so both measure the SAME workload."""
+    script/profile_cycle.py so both measure the SAME workload.
+    `model` overrides the full-size body (e.g. a small structural body
+    for CPU-only audits — the sequence arrays' shapes are
+    vertex-count independent)."""
     import jax.numpy as jnp
     from mhmocap_tpu.models.synthetic import make_synthetic_smpl
     from mhmocap_tpu.models.smpl import smpl_forward
@@ -83,7 +86,8 @@ def make_ts1_like_seq(T=T, N=N, side=SIDE):
         intrinsics_from_fov
     from mhmocap_tpu.data.ingestion import SequenceArrays
 
-    model = make_synthetic_smpl()  # full 6890 verts / ~12.7k faces
+    if model is None:
+        model = make_synthetic_smpl()  # full 6890 verts / ~12.7k faces
     K = intrinsics_from_fov((side, side), 60.0)
     rng = np.random.RandomState(0)
 

@@ -218,9 +218,19 @@ def tracks_to_array(
         # full frame list: zero-detection frames become zero rows.
         # If the JSON's image_id scheme doesn't match the caller's
         # names at all, keep the positional axis (re-anchoring onto
-        # nothing would zero every frame).
+        # nothing would zero every frame); a PARTIAL mismatch drops
+        # the unmatched frames' detections, so it warns loudly.
         pos = {k: i for i, k in enumerate(image_names)}
-        if not images or any(k in pos for k in images):
+        unmatched = [k for k in images if k not in pos]
+        if not images or len(unmatched) < len(images):
+            if unmatched:
+                import warnings
+                warnings.warn(
+                    f"{len(unmatched)} of {len(images)} AlphaPose "
+                    f"image_ids match no frame in the image directory "
+                    f"(e.g. {unmatched[0]!r}); their detections are "
+                    f"DROPPED by the full-frame re-anchoring.",
+                    RuntimeWarning)
             full = np.zeros((len(image_names), N, 17, 3), np.float32)
             for t, img_key in enumerate(images):
                 if img_key in pos:

@@ -145,11 +145,16 @@ def generate_sequence(
     if deg.get("enter_leave"):
         # person 0 walks out of the frustum and back: a smooth x bump
         # over ~15% of the frames mid-sequence (at z ~= 3 the FOV-60
-        # half-width is ~1.7 m; +4 m is far off-screen)
+        # half-width is ~1.7 m; +4 m is far off-screen). The bump is
+        # sampled at span MIDPOINTS and normalized to peak 1.0, so it
+        # reaches full off-screen amplitude at EVERY span length
+        # (linspace(0, pi, 2) hits only the sine's zero endpoints —
+        # a silent no-op at short T, caught by self-review round 4).
         t0, t1 = int(0.40 * T), max(int(0.40 * T) + 2, int(0.55 * T))
         bump = np.zeros(T, np.float32)
-        span = np.linspace(0, np.pi, t1 - t0)
-        bump[t0:t1] = np.sin(span) ** 2
+        frac = (np.arange(t1 - t0) + 0.5) / (t1 - t0)
+        b = np.sin(np.pi * frac) ** 2
+        bump[t0:t1] = b / b.max()
         poses_T[:, 0, 0, 0] += 4.0 * bump
 
     poses_smpl = np.zeros((T, N, 72), np.float32)

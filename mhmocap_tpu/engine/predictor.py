@@ -123,8 +123,13 @@ def tune_time_layout(T: int, n_dev: int, user_bucket: int = 0,
                 f"surprise.", RuntimeWarning)
         return chunk, bucket
 
-    cands = range(2, 9) if T < 32 else range(16, 49)
-    chunk = min(cands, key=lambda c: (
+    # Small chunks stay in the candidate set at every T: the shard
+    # step is n_dev * chunk, so a 16-chunk floor would force padded >=
+    # 128 frames on 8 devices (T=64 would waste 50% of every device's
+    # compute; round-4 self-review). The (padding, larger-chunk) key
+    # still picks big chunks whenever they pad equally — T=201 on 8
+    # devices stays chunk 26 / padded 208.
+    chunk = min(range(2, 49), key=lambda c: (
         -(-T // (n_dev * c)) * (n_dev * c), -c))
     return chunk, n_dev * chunk
 

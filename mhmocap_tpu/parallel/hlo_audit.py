@@ -26,9 +26,10 @@ _OP_RE = re.compile(
     r"(" + "|".join(COLLECTIVE_KINDS) + r")(-start|-done)?\(")
 
 
-def shape_bytes(shape_str: str) -> int:
-    """Total bytes of an HLO result shape string (tuples summed)."""
-    total = 0
+def _element_bytes(shape_str: str):
+    """Per-array byte counts of an HLO shape string (tuple elements
+    listed separately; unknown dtypes like token skipped)."""
+    sizes = []
     for dtype, dims in _SHAPE_RE.findall(shape_str):
         if dtype not in _DTYPE_BYTES:
             continue
@@ -36,23 +37,36 @@ def shape_bytes(shape_str: str) -> int:
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dtype]
-    return total
+        sizes.append(n * _DTYPE_BYTES[dtype])
+    return sizes
+
+
+def shape_bytes(shape_str: str) -> int:
+    """Total bytes of an HLO result shape string (tuples summed)."""
+    return sum(_element_bytes(shape_str))
 
 
 def extract_collectives(hlo_text: str):
     """[(kind, result_shape_str, bytes)] from optimized HLO text.
 
     '-done' ops are skipped ('-start' already carries the shape).
-    Shapes are per-partition when the module was compiled for a mesh,
-    so bytes are per-device."""
+    Async '-start' ops return (operand, result, ...) tuples that alias
+    the input buffer — only the LARGEST element is counted for them
+    (summing would double-count the transfer; e.g. an
+    all-gather-start's (f32[26,..], f32[208,..]) tuple moves 208 rows,
+    not 234). Shapes are per-partition when the module was compiled
+    for a mesh, so bytes are per-device."""
     out = []
     for line in hlo_text.splitlines():
         m = _OP_RE.search(line)
         if not m or m.group(3) == "-done":
             continue
         shape = m.group(1).strip()
-        out.append((m.group(2), shape, shape_bytes(shape)))
+        if m.group(3) == "-start" and shape.startswith("("):
+            nbytes = max(_element_bytes(shape), default=0)
+        else:
+            nbytes = shape_bytes(shape)
+        out.append((m.group(2), shape, nbytes))
     return out
 
 

@@ -40,6 +40,12 @@ jax.config.update("jax_platforms", "cpu")
 
 from mhmocap_tpu.cache import cpu_cache_dir  # noqa: E402
 
+# set the ENV VAR too: `import bench` (in build_problem) runs
+# os.environ.setdefault + jax.config.update at module level, which
+# would otherwise flip the cache back to the shared TPU .jax_cache —
+# poisoning it with CPU AOT entries and re-opening the cross-host
+# SIGABRT hazard the fingerprinted dir exists to close
+os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir(REPO)
 jax.config.update("jax_compilation_cache_dir", cpu_cache_dir(REPO))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
@@ -65,9 +71,13 @@ def build_problem(full_smpl: bool, T: int = 201):
         seq, model = bench.make_ts1_like_seq(T=T, N=N, side=side)
         window, windows = 160, (160, 128, 112)
     else:
-        # small body, same raster/scene/temporal structure
+        # small body, same raster/scene/temporal structure (passed
+        # into the seq builder too — generating the sequence with the
+        # full 6890-vert body would burn minutes of CPU smpl_forward
+        # for arrays whose shapes are vertex-count independent)
         model = make_synthetic_smpl(num_vertices=128, seed=6)
-        seq, _ = bench.make_ts1_like_seq(T=T, N=N, side=side)
+        seq, _ = bench.make_ts1_like_seq(T=T, N=N, side=side,
+                                         model=model)
         window, windows = 128, None
 
     # the Predictor SPMD tuner's layout at this T

@@ -342,7 +342,8 @@ def main():
                  "MATMUL_PRECISION", "BWD_MATMUL_MODE",
                  "SIL_ACCUM_MODE")}
     for variant in args.variants.split(","):
-        if variant in ("pack", "packparts", "packstatic", "check"):
+        if variant in ("pack", "packparts", "packstatic", "check",
+                       "schedslack"):
             continue
         if variant.startswith("fc"):
             RP.FACE_CHUNK = int(variant[2:])

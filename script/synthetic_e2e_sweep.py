@@ -94,7 +94,7 @@ def degradation_plan(ts_id: int, frames: int) -> dict:
             "romp_person_dropout": 0.10,
             "romp_missing_frames": 0.05},
     }
-    return plans.get(1 + (ts_id - 1) % 5, plans[5])
+    return plans[1 + (ts_id - 1) % 5]
 
 
 def main():

@@ -25,6 +25,10 @@ def test_extract_collectives_kinds_and_start_done_dedup():
     hlo = "\n".join([
         "  %ag = f32[208,3,72]{2,1,0} all-gather(f32[26,3,72] %x), "
         "dimensions={0}",
+        # async form: the (operand, result) tuple aliases the input —
+        # only the larger element is the transfer
+        "  %ags = (f32[26,3,72]{2,1,0}, f32[208,3,72]{2,1,0}) "
+        "all-gather-start(f32[26,3,72] %y), dimensions={0}",
         "  %cp0 = f32[1,3,72]{2,1,0} collective-permute-start("
         "f32[1,3,72] %h), source_target_pairs={{0,1}}",
         "  %cp1 = f32[1,3,72]{2,1,0} collective-permute-done("
@@ -38,10 +42,13 @@ def test_extract_collectives_kinds_and_start_done_dedup():
     kinds = sorted(k for k, _, _ in colls)
     # '-done' is skipped ('-start' already carries the shape); the
     # plain dot is not a collective
-    assert kinds == ["all-gather", "all-reduce", "collective-permute"]
+    assert kinds == ["all-gather", "all-gather", "all-reduce",
+                     "collective-permute"]
 
     totals = collective_totals(hlo)
-    assert totals["all-gather"] == 208 * 3 * 72 * 4
+    # sync form counts its result; async-start counts ONLY the larger
+    # tuple element (not operand + result)
+    assert totals["all-gather"] == 2 * 208 * 3 * 72 * 4
     assert totals["collective-permute"] == 3 * 72 * 4
     assert totals["all-reduce"] == 2 * 256 * 256 * 4
 

@@ -149,6 +149,19 @@ def test_tracks_to_array_zero_detection_frames():
                            image_names=names)
     np.testing.assert_array_equal(c, b)
 
+    # PARTIAL mismatch: re-anchoring proceeds but warns that the
+    # unmatched frames' detections are dropped
+    import warnings as W
+    annot_mixed = dict(annot_full)
+    annot_mixed["img_000001.png"] = annot_mixed.pop(names[1])
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always", RuntimeWarning)
+        d = AP.tracks_to_array(annot_mixed, frame_ids=list(range(6)),
+                               image_names=names)
+    assert any("DROPPED" in str(w.message) for w in caught)
+    assert (d[1] == 0).all()                     # unmatched frame
+    np.testing.assert_array_equal(d[0], b[0])    # matched frames kept
+
 
 def test_split_instance_masks_golden():
     inst = np.zeros((1, 4, 4), np.uint8)

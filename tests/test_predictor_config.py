@@ -111,10 +111,14 @@ def test_tune_time_layout_properties():
             assert 16 <= c <= 48
             assert (p - T) / p <= 0.04, (T, c, p)
 
-        # 8-device mesh, auto bucket
+        # 8-device mesh, auto bucket: the pick must be OPTIMAL (no
+        # candidate chunk pads less) — this is what rules out the
+        # 16-chunk floor that wasted 50% at T=64 (round-4 self-review)
         c, b = tune_time_layout(T, 8)
         p = -(-T // b) * b
         assert b == 8 * c and p % (8 * c) == 0
+        best = min(-(-T // (8 * cc)) * 8 * cc for cc in range(2, 49))
+        assert p == best, (T, c, p, best)
         if T >= 201:
             assert (p - T) / p <= 0.05, (T, c, p)
 
