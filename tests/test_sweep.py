@@ -88,3 +88,27 @@ def test_synthetic_e2e_sweep_script_smoke(tmp_path):
     assert res["metric"] == "synthetic_e2e_sweep"
     assert np.isfinite(res["avg"]["pck_rel"])
     assert 0.0 <= res["avg"]["pck_rel"] <= 100.0
+
+
+def test_degradation_plan_covers_every_mode():
+    """--degraded assigns each TS one isolated robustness path, the
+    fifth combines them all, and ids past 5 wrap around."""
+    import synthetic_e2e_sweep as S
+
+    plans = [S.degradation_plan(i, frames=60) for i in range(1, 6)]
+    assert plans[0] == {"crossing_paths": True}
+    assert plans[1]["detection_dropout"] > 0
+    assert len(plans[1]["id_switch_spans"]) == 2
+    assert plans[2]["romp_person_dropout"] > 0
+    assert plans[2]["romp_missing_frames"] > 0
+    assert plans[3] == {"enter_leave": True}
+    combined = plans[4]
+    for key in ("crossing_paths", "enter_leave", "id_switch_spans",
+                "detection_dropout", "romp_person_dropout",
+                "romp_missing_frames"):
+        assert key in combined, key
+    # id switch spans stay inside the sequence
+    for p in plans:
+        for t0, t1 in p.get("id_switch_spans", []):
+            assert 0 <= t0 < t1 <= 60
+    assert S.degradation_plan(6, 60) == plans[0]   # wraps
