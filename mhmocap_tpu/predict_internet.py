@@ -39,6 +39,7 @@ def build_internet_sequence(
     filter_2dpose=True,
     filter_min_cutoff=0.01,
     filter_beta=25,
+    lagged_conf_decay=1.0,
     **_,
 ):
     frame_ids = (list(range(start_frame, end_frame, step_frame))
@@ -70,6 +71,7 @@ def build_internet_sequence(
         filter_2dpose=filter_2dpose,
         filter_min_cutoff=filter_min_cutoff,
         filter_beta=filter_beta,
+        lagged_conf_decay=lagged_conf_decay,
     )
     return seq, model
 

@@ -43,6 +43,7 @@ def build_mupots_sequence(
     filter_2dpose=True,
     filter_min_cutoff=0.01,
     filter_beta=25,
+    lagged_conf_decay=1.0,
     **_,
 ):
     """Ingest one MuPoTs TS sequence + its GT (reference
@@ -85,6 +86,7 @@ def build_mupots_sequence(
         filter_2dpose=filter_2dpose,
         filter_min_cutoff=filter_min_cutoff,
         filter_beta=filter_beta,
+        lagged_conf_decay=lagged_conf_decay,
     )
     pose3d_gt, pose3d_univ_gt, visibility = mupots.slice_ground_truth(
         annot, occl, frame_ids)

@@ -37,7 +37,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".jax_cache"))
 
 
-def make_config(path, data_path, num_iter, raster_window=128):
+def make_config(path, data_path, num_iter, raster_window=128,
+                lagged_decay=1.0):
     import yaml
     cfg = {
         "ARGS": {
@@ -69,6 +70,7 @@ def make_config(path, data_path, num_iter, raster_window=128):
             "start_frame": 0,
             "end_frame": -1,
             "step_frame": 1,
+            "lagged_conf_decay": lagged_decay,
         },
     }
     with open(path, "w") as f:
@@ -122,10 +124,17 @@ def main():
                          "one all-combined sequence. Checks graceful "
                          "degradation (pipeline completes, finite "
                          "metrics), not golden accuracy.")
+    ap.add_argument("--lagged_decay", type=float, default=1.0,
+                    help="lagged_conf_decay ingestion knob (default "
+                         "1.0 = reference parity; e.g. 0.8 releases "
+                         "stale dropout-gap anchors after ~1 frame — "
+                         "see load_sequence's docstring)")
     args = ap.parse_args()
 
     if args.degraded and args.workdir == "/tmp/mupots_synth":
         args.workdir += "_degraded"  # don't clobber the clean trees
+    if args.lagged_decay < 1.0:
+        args.workdir += "_decay"  # separate output tree per knob
 
     if args.num_vertices:
         # the prediction/eval subprocesses resolve the SAME
@@ -176,7 +185,8 @@ def main():
 
     cfg_path = make_config(os.path.join(args.workdir, "predict.yml"),
                            data_path, args.num_iter,
-                           raster_window=args.raster_window)
+                           raster_window=args.raster_window,
+                           lagged_decay=args.lagged_decay)
 
     from predict_mupots_sweep import build_commands, run_sweep
     cmds = build_commands(ts_ids, cfg_path, out_path)
@@ -199,6 +209,7 @@ def main():
         "sequences": args.num_seqs,
         "frames": args.frames,
         "num_iter": args.num_iter,
+        "lagged_decay": args.lagged_decay,
         "avg": {k: v[-1] for k, v in final.items()},
         "per_ts": {k: v[:-1] for k, v in final.items()
                    if k in ("pck_rel", "mm_rel_error")},

@@ -196,8 +196,8 @@ def test_smpl_imputation_fills_missing(seq_tree):
     pose2d[..., 0] = np.linspace(30, 90, N)[None, :, None]
     pose2d[..., 1] = 60
 
-    out, _ = assign_smpl_to_poses(preds, pose2d, (128, 128),
-                                  _joints_fn(gt["model"]))
+    out, _, _ = assign_smpl_to_poses(preds, pose2d, (128, 128),
+                                     _joints_fn(gt["model"]))
     valids = np.stack([out[t]["valid"][:, 0] for t in range(T)])
     assert (valids[2] >= 0.5).all()
     assert (valids != 0).all()
@@ -227,10 +227,73 @@ def test_smpl_assignment_with_extra_detections(seq_tree):
     pose2d[..., 0] = np.linspace(30, 90, N)[None, :, None]
     pose2d[..., 1] = 60
 
-    out, _ = assign_smpl_to_poses(preds, pose2d, (128, 128),
-                                  _joints_fn(gt["model"]))
+    out, _, _ = assign_smpl_to_poses(preds, pose2d, (128, 128),
+                                     _joints_fn(gt["model"]))
     for t in range(T):
         assert out[t]["poses"].shape == (N, 72), t
         assert out[t]["valid"].shape == (N, 1), t
     valids = np.stack([out[t]["valid"][:, 0] for t in range(T)])
     assert (valids > 0).all()
+
+
+def test_lagged_tn_marks_unrefreshed_dropout_frames(seq_tree):
+    """assign_smpl_to_poses's lagged_tn must flag exactly the frames
+    whose 2D pose is a stale lagged copy with no current-frame SMPL
+    refresh (here: ROMP is ALSO empty on the dropout frames, so no
+    refresh can happen)."""
+    root, gt = seq_tree
+    from mhmocap_tpu.data.ingestion import assign_smpl_to_poses
+    T, N = 6, 2
+    rng = np.random.RandomState(2)
+    preds = []
+    for t in range(T):
+        count = 0 if t in (2, 3) else N   # total ROMP dropout on 2-3
+        preds.append({
+            "cam": np.tile(np.array([[1.0, 0, 0]], np.float32),
+                           (count, 1)),
+            "poses": rng.randn(count, 72).astype(np.float32) * 0.1,
+            "betas": np.zeros((count, 10), np.float32),
+        })
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 2] = 0.9
+    pose2d[..., 0] = np.linspace(30, 90, N)[None, :, None]
+    pose2d[..., 1] = 60
+    pose2d[2:4, 1, :, 2] = 0.0            # person 1's track drops out
+
+    _, out2d, lagged = assign_smpl_to_poses(
+        preds, pose2d, (128, 128), _joints_fn(gt["model"]))
+    assert lagged.shape == (T, N) and lagged.dtype == bool
+    expect = np.zeros((T, N), bool)
+    expect[2:4, 1] = True
+    np.testing.assert_array_equal(lagged, expect)
+    # the lagged copies carry the clipped 0.502 anchor confidence
+    assert np.allclose(out2d[2:4, 1, :, 2], 0.502)
+
+
+def test_decay_lagged_confidences_runs_and_resets():
+    """decay**k per consecutive stale frame, reset on real evidence;
+    non-lagged frames and decay=1.0 are untouched."""
+    from mhmocap_tpu.data.ingestion import decay_lagged_confidences
+    T, N = 7, 2
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 2] = 0.502
+    lagged = np.zeros((T, N), bool)
+    lagged[1:4, 0] = True     # 3-frame run for person 0
+    lagged[5, 0] = True       # second run restarts at k=1
+    lagged[2, 1] = True       # single frame for person 1
+
+    out = decay_lagged_confidences(pose2d, lagged, 0.8)
+    assert out is not pose2d and np.allclose(pose2d[..., 2], 0.502)
+    g = 0.502
+    np.testing.assert_allclose(
+        out[:, 0, 0, 2],
+        [g, g * 0.8, g * 0.8 ** 2, g * 0.8 ** 3, g, g * 0.8, g],
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        out[:, 1, 0, 2], [g, g, g * 0.8, g, g, g, g], rtol=1e-6)
+    # x/y channels untouched
+    np.testing.assert_array_equal(out[..., :2], pose2d[..., :2])
+    # identity at decay=1.0
+    np.testing.assert_array_equal(
+        decay_lagged_confidences(pose2d, lagged, 1.0)[..., 2],
+        pose2d[..., 2])
