@@ -934,6 +934,45 @@ def stage1_cycle_fused(params: StageParams, opt_state, aux: StageAux,
     return params, opt_state, aux, loss, parts
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "optimize_scale",
+                                    "n_cycles"),
+                   donate_argnums=(0, 1, 2))
+def stage1_cycles_fused(params: StageParams, opt_state, aux: StageAux,
+                        cycle_idx0, model: SMPLModel, data: SeqData,
+                        coefs, cfg: EngineConfig,
+                        optimize_scale: bool = True,
+                        n_cycles: int = 1):
+    """`n_cycles` consecutive PRODUCTION cycles as ONE device program
+    (a lax.scan over stage1_cycle_fused's body, cycle indices
+    cycle_idx0 + [0, n_cycles)). Losses and log parts come back
+    stacked: (n_cycles,), (n_cycles, 9). Semantically identical to
+    n_cycles calls of stage1_cycle_fused (verified bitwise on the
+    chip) — the refresh cadence conds take the traced per-iteration
+    index.
+
+    Measured A/B at TS1 production scale (script/bench_multicycle.py,
+    docs/PERF.md round 4): K=5/K=15 batching is within noise of the
+    per-cycle dispatch loop (-0.2%/+0.0%) — the async host loop
+    already hides the steady-state launch latency, so Predictor.fit
+    keeps its one-dispatch-per-cycle loop (simpler checkpoint/bench
+    boundaries). This primitive remains for driver-less long runs
+    where a caller wants K cycles per host interaction."""
+    def body(carry, k):
+        params, opt_state, aux = carry
+        aux = fused_aux_refresh(params, aux, cycle_idx0 + k, model,
+                                data, cfg)
+        params, opt_state, loss, parts = grad_step(
+            lambda p: _cycle_loss(p, model, data, aux, coefs, cfg),
+            params, opt_state, optimize_scale)
+        return (params, opt_state, aux), (loss, parts)
+
+    (params, opt_state, aux), (losses, parts) = lax.scan(
+        body, (params, opt_state, aux),
+        jnp.arange(n_cycles, dtype=jnp.uint32))
+    return params, opt_state, aux, losses, parts
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def get_filtered_vertices(params: StageParams, model: SMPLModel,
                           cfg: EngineConfig,

@@ -213,3 +213,41 @@ def spmd_stage1_cycle_fused(params, opt_state, aux: E.StageAux,
                                   mesh),
         params, opt_state, optimize_scale)
     return params, opt_state, aux, loss, parts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "mesh", "optimize_scale",
+                                    "n_cycles"),
+                   donate_argnums=(0, 1, 2))
+def spmd_stage1_cycles_fused(params, opt_state, aux: E.StageAux,
+                             cycle_idx0, model, data, coefs,
+                             cfg: E.EngineConfig, mesh: Mesh,
+                             optimize_scale: bool = True,
+                             n_cycles: int = 1):
+    """Sharded counterpart of engine.optimizer.stage1_cycles_fused:
+    `n_cycles` consecutive production cycles as ONE sharded program (a
+    lax.scan over spmd_stage1_cycle_fused's body); K cycles per host
+    dispatch, losses/parts stacked (n_cycles,), (n_cycles, 9).
+
+    Same measured caveat as the single-device primitive: steady-state
+    launch latency is already hidden by the async host loop (A/B in
+    docs/PERF.md round 4), so Predictor.fit keeps its per-cycle loop;
+    this exists for driver-less long runs (one host interaction per K
+    cycles) on pods."""
+    def body(carry, k):
+        params, opt_state, aux = carry
+        aux = E.fused_aux_refresh(params, aux, cycle_idx0 + k, model,
+                                  data, cfg)
+        aux = jax.tree.map(
+            lambda x, s: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, s)), aux, _aux_specs())
+        params, opt_state, loss, parts = E.grad_step(
+            lambda p: spmd_cycle_loss(p, model, data, aux, coefs, cfg,
+                                      mesh),
+            params, opt_state, optimize_scale)
+        return (params, opt_state, aux), (loss, parts)
+
+    (params, opt_state, aux), (losses, parts) = lax.scan(
+        body, (params, opt_state, aux),
+        jnp.arange(n_cycles, dtype=jnp.uint32))
+    return params, opt_state, aux, losses, parts

@@ -297,3 +297,54 @@ def test_per_person_windows(tiny_problem):
             cos = np.sum(a[big] * b[big]) / (
                 np.linalg.norm(a[big]) * np.linalg.norm(b[big]) + 1e-12)
             assert cos > 0.99, cos
+
+
+@pytest.mark.slow
+def test_multi_cycle_scan_matches_cycle_loop(tiny_problem):
+    """stage1_cycles_fused (K cycles per dispatch via lax.scan) must
+    reproduce K sequential stage1_cycle_fused calls exactly —
+    including the refresh-cadence conds firing mid-scan. The span
+    28..34 crosses the warmup boundary (warmup_cycles=30), so the
+    scan must leave cycles 28-29 unrefreshed and engage the scene
+    from 30."""
+    p = tiny_problem
+    cfg = p["cfg"]
+    K = 6
+    params, _, _ = E.init_params(
+        p["model"], p["pose2d"], p["poses_smpl"], p["betas"], p["K"],
+        cfg, num_iter=20)
+    data = _make_seq_data(p, params)
+    aux0 = E.init_aux(cfg, p["model"].num_vertices,
+                      jnp.asarray(p["betas"][:1].mean(0,
+                                                      keepdims=True)))
+    coefs = E.default_coefs()
+    opt = E.make_stage1_optimizer()
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+
+    pl, ol, auxl = copy(params), opt.init(params), copy(aux0)
+    losses_l, parts_l = [], []
+    for c in range(28, 28 + K):
+        pl, ol, auxl, ll, pp = E.stage1_cycle_fused(
+            pl, ol, auxl, jnp.uint32(c), p["model"], data, coefs, cfg)
+        losses_l.append(float(ll))
+        parts_l.append(np.asarray(pp))
+
+    ps, os_, auxs, ls, parts_s = E.stage1_cycles_fused(
+        copy(params), opt.init(params), copy(aux0), jnp.uint32(28),
+        p["model"], data, coefs, cfg, n_cycles=K)
+    assert ls.shape == (K,)
+    assert parts_s.shape == (K, len(E.LOG_KEYS))
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(losses_l),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(parts_s),
+                               np.stack(parts_l), rtol=1e-5,
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ps.poses_T),
+                               np.asarray(pl.poses_T), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(ps.poses_smpl),
+                               np.asarray(pl.poses_smpl), atol=1e-7)
+    # the scene engaged mid-scan (cycle 30) in both paths
+    assert float(auxs.have_scene) == float(auxl.have_scene) == 1.0
+    np.testing.assert_allclose(np.asarray(auxs.scene.depth),
+                               np.asarray(auxl.scene.depth),
+                               atol=1e-6)

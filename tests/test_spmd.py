@@ -248,3 +248,55 @@ def test_spmd_warm_aux_cycle_matches_single_device(spmd_problem):
     np.testing.assert_allclose(
         np.asarray(params_8.poses_smpl), np.asarray(params_1.poses_smpl),
         atol=5e-5)
+
+
+@pytest.mark.slow
+def test_spmd_multi_cycle_scan_matches_cycle_loop(spmd_problem):
+    """spmd_stage1_cycles_fused (K sharded cycles per dispatch) must
+    reproduce K sequential spmd_stage1_cycle_fused calls exactly,
+    with the refresh conds firing mid-scan and shardings preserved."""
+    import dataclasses
+    p = spmd_problem
+    mesh = spmd.make_mesh()
+    cfg = dataclasses.replace(p["cfg"], warmup_cycles=2,
+                              update_filters_every=2,
+                              scene_update_every=1)
+    opt = E.make_stage1_optimizer()
+    K = 4
+
+    data_s = spmd.shard_data(p["data"], mesh)
+
+    params_l = spmd.shard_params(jax.tree.map(jnp.copy, p["params"]),
+                                 mesh)
+    aux_l = spmd.shard_aux(jax.tree.map(jnp.copy, p["aux"]), mesh)
+    os_l = opt.init(params_l)
+    losses_l = []
+    for cycle in range(K):
+        params_l, os_l, aux_l, loss_l, _ = spmd.spmd_stage1_cycle_fused(
+            params_l, os_l, aux_l, jnp.uint32(cycle), p["model"],
+            data_s, p["coefs"], cfg, mesh)
+        losses_l.append(float(loss_l))
+
+    params_s = spmd.shard_params(jax.tree.map(jnp.copy, p["params"]),
+                                 mesh)
+    aux_s = spmd.shard_aux(jax.tree.map(jnp.copy, p["aux"]), mesh)
+    params_s, os_s, aux_s, ls, parts_s = spmd.spmd_stage1_cycles_fused(
+        params_s, opt.init(params_s), aux_s, jnp.uint32(0), p["model"],
+        data_s, p["coefs"], cfg, mesh, n_cycles=K)
+
+    assert ls.shape == (K,)
+    assert parts_s.shape == (K, len(E.LOG_KEYS))
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(losses_l),
+                               rtol=1e-6)
+    assert float(aux_s.have_scene) == float(aux_l.have_scene) == 1.0
+    assert float(aux_s.have_filters) == float(aux_l.have_filters) == 1.0
+    np.testing.assert_allclose(
+        np.asarray(params_s.poses_T), np.asarray(params_l.poses_T),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(aux_s.scene.depth), np.asarray(aux_l.scene.depth),
+        atol=1e-6)
+    # shardings preserved through the scan carry
+    assert params_s.poses_T.sharding.spec == spmd._params_specs().poses_T
+    assert (aux_s.verts_filt_diff.sharding.spec
+            == spmd._aux_specs().verts_filt_diff)
