@@ -394,6 +394,11 @@ class SequenceArrays:
     valid_smpl: np.ndarray    # (T, N, 1)
     frame_ids: np.ndarray     # (T,)
     cam: Dict = field(default_factory=dict)  # K, fov, Kd, image_size
+    # (T, N) bool: person-frames with NO current-frame 2D evidence
+    # (stale lagged-track copies, see assign_smpl_to_poses); consumed
+    # by the opt-in gap_interpolate post-fit pass (engine/gapfill.py).
+    # None when the caller built the arrays directly (bench/dryrun).
+    lagged_tn: Optional[np.ndarray] = None
 
     @property
     def num_frames(self) -> int:
@@ -584,6 +589,7 @@ def load_sequence(
         frame_ids=np.asarray(list(frame_ids), int),
         cam={"K": cam_K, "fov": fov, "Kd": cam_dist_coef,
              "image_size": tuple(image_size)},
+        lagged_tn=lagged_tn,
     )
 
 

@@ -370,6 +370,24 @@ class Predictor:
         stage1_optvar["window_clip_rate"] = self.window_clip_rate
         stage1_optvar["raster_windows"] = cfg.person_windows
         stage1_optvar["window_clip_rates"] = self.window_clip_rates
+        # opt-in detection-dropout gap interpolation (no reference
+        # analog; see engine/gapfill.py): replace each unobserved
+        # span's trajectory with endpoint interpolation, removing the
+        # re-acquisition snap the stale-anchor (or, with
+        # lagged_conf_decay, the zero-motion drift) leaves behind.
+        # Observed frames are untouched, so clean sequences are
+        # bit-identical; the frame count is recorded for auditability.
+        if bool(getattr(self.args, "gap_interpolate", False)) \
+                and seq.lagged_tn is not None and seq.lagged_tn.any():
+            from .gapfill import interpolate_gap_trajectories
+            (stage1_optvar["poses_T"], stage1_optvar["poses_smpl"],
+             n_gap) = interpolate_gap_trajectories(
+                stage1_optvar["poses_T"], stage1_optvar["poses_smpl"],
+                seq.lagged_tn)
+            stage1_optvar["gap_interp_frames"] = n_gap
+            if verbose and n_gap:
+                print(f"gap_interpolate: {n_gap} unobserved "
+                      f"person-frames interpolated", flush=True)
         with open(os.path.join(self.output_path, "optvar_stage1.pkl"),
                   "wb") as f:
             pickle.dump(stage1_optvar, f)

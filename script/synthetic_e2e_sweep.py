@@ -38,11 +38,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def make_config(path, data_path, num_iter, raster_window=128,
-                lagged_decay=1.0):
+                lagged_decay=1.0, gap_interp=False):
     import yaml
     cfg = {
         "ARGS": {
             "batch_size": 10,
+            "gap_interpolate": gap_interp,
             "resize_factor": 1.0,
             "erode_segmentation_iters": 0,
             "erode_backmask_iters": 0,
@@ -129,12 +130,20 @@ def main():
                          "1.0 = reference parity; e.g. 0.8 releases "
                          "stale dropout-gap anchors after ~1 frame — "
                          "see load_sequence's docstring)")
+    ap.add_argument("--gap_interp", action="store_true",
+                    help="post-fit gap interpolation of unobserved "
+                         "detection-dropout spans (opt-in knob, "
+                         "engine/gapfill.py): removes the "
+                         "re-acquisition snap that dominates the "
+                         "degraded tier's jitter")
     args = ap.parse_args()
 
     if args.degraded and args.workdir == "/tmp/mupots_synth":
         args.workdir += "_degraded"  # don't clobber the clean trees
     if args.lagged_decay < 1.0:
         args.workdir += "_decay"  # separate output tree per knob
+    if args.gap_interp:
+        args.workdir += "_interp"
 
     if args.num_vertices:
         # the prediction/eval subprocesses resolve the SAME
@@ -186,7 +195,8 @@ def main():
     cfg_path = make_config(os.path.join(args.workdir, "predict.yml"),
                            data_path, args.num_iter,
                            raster_window=args.raster_window,
-                           lagged_decay=args.lagged_decay)
+                           lagged_decay=args.lagged_decay,
+                           gap_interp=args.gap_interp)
 
     from predict_mupots_sweep import build_commands, run_sweep
     cmds = build_commands(ts_ids, cfg_path, out_path)
@@ -210,6 +220,7 @@ def main():
         "frames": args.frames,
         "num_iter": args.num_iter,
         "lagged_decay": args.lagged_decay,
+        "gap_interp": args.gap_interp,
         "avg": {k: v[-1] for k, v in final.items()},
         "per_ts": {k: v[:-1] for k, v in final.items()
                    if k in ("pck_rel", "mm_rel_error")},

@@ -137,6 +137,11 @@ def test_degraded_ingestion_exercises_imputation(degraded_tree):
     # both people still have real detections most of the time
     pvis = (seq.pose2d[..., 2] > 0.5).max(axis=2).mean(axis=0)
     assert (pvis > 0.5).all(), pvis
+    # the stale-frame mask rides on the SequenceArrays (consumed by
+    # the gap_interpolate post-pass) and flags this tree's dropout
+    assert seq.lagged_tn is not None
+    assert seq.lagged_tn.shape == (seq.num_frames, seq.num_people)
+    assert seq.lagged_tn.any()
 
 
 @pytest.fixture(scope="module")
@@ -168,6 +173,11 @@ def test_degraded_predict_eval_completes(degraded_tree,
             "reg_foot_sliding_coef": 0.01,
             "save_visualizations": False, "raster_window": 64,
             "frame_bucket": 1, "spmd": False,
+            # also drive the opt-in gap-interpolation post-pass
+            # (engine/gapfill.py) through the real pipeline: the
+            # degraded tree's dropout/leave spans guarantee stale
+            # frames, so the hook must fire and stay finite
+            "gap_interpolate": True,
         },
         "smpl": {"smpl_model_parameters_path": "/nonexistent-synthetic"},
         "data": {
@@ -195,6 +205,9 @@ def test_degraded_predict_eval_completes(degraded_tree,
         ov = pickle.load(f)
     assert np.isfinite(ov["poses_T"]).all()
     assert np.isfinite(ov["poses_smpl"]).all()
+    # the gap-interpolation hook fired on this dropout-heavy input
+    # and recorded its audit count in the artifact
+    assert ov["gap_interp_frames"] > 0
 
     EM.main(["--configs_yml", cfg_path, "--input_path", out_dir])
     with open(os.path.join(out_dir, "FinalResults.json")) as f:
