@@ -18,6 +18,7 @@ import json
 from typing import Dict, Optional
 
 import numpy as np
+from scipy.optimize import linear_sum_assignment
 
 from .assignment import match_pose_sets, pose_distance_2d
 
@@ -105,6 +106,7 @@ def tracks_to_array(
     max_num_people: Optional[int] = None,
     verbose: bool = False,
     image_names=None,
+    id_swap_fix: float = 0.0,
 ) -> np.ndarray:
     """Reconcile fragmented tracklets into a dense (T, N, 17, 3) array.
 
@@ -134,6 +136,27 @@ def tracks_to_array(
     rows at their correct positions instead; gap-free inputs (every
     reference-valid input) are bit-identical either way. Without
     `image_names` the reference's present-frames-only axis is kept.
+
+    `id_swap_fix` (default 0.0 = off = reference parity) is an opt-in
+    robustness extension: a SUSTAINED tracker identity switch (two
+    people's track ids swap in the JSON) rides straight through the
+    known-id fast path above — the velocity gate only guards EMPTY
+    slots, so the reference anchors each person to the OTHER person's
+    2D evidence for the whole span (measured on the degraded sweep:
+    the switch-in/out transients carry most of the sequence's jitter,
+    docs/PARITY.md). With a ratio r in (0, 1), each frame's id-assigned
+    group is Hungarian-checked against the last-seen poses of their
+    own slots PLUS the currently-empty slots — a switch that lands on
+    the same frame as a detection dropout presents as ONE mis-id'd
+    detection whose true home is the empty slot, not as a permutation
+    — and the optimal re-routing replaces the id assignment only when
+    its total pose distance is < r * the id assignment's total, so
+    genuine crossings (near-tie distances) never flap. Track-id
+    mappings follow the correction (evicting stale mappings of the
+    re-routed slots), so a sustained swap is fixed once at switch-in
+    (and once more at switch-out, when the JSON swaps back); the slot
+    a correction vacates re-acquires its person through the normal
+    velocity-gated Hungarian below.
     """
     annot = {k: dict(v) for k, v in annot.items()}  # shallow copy
     images = sorted(annot.keys())
@@ -172,15 +195,50 @@ def tracks_to_array(
             continue
 
         # 1. known track ids
-        for pid in list(slot_of.keys()):
-            if pid in frame:
-                n = slot_of[pid]
-                pose2d[t, n] = frame[pid]
-                velocity[n] = _update_velocity(
-                    pose2d[t, n], pose2d[t - 1, n], velocity[n])
-                last_seen[n] = t
-                tracked[n] = 1
-                del frame[pid]
+        id_assigned = [(pid, slot_of[pid]) for pid in list(slot_of)
+                       if pid in frame]
+        target = [n for _, n in id_assigned]
+        if id_swap_fix > 0.0 and id_assigned:
+            # opt-in identity-switch correction (see docstring): trust
+            # positions over ids only when the optimal re-routing of
+            # the id-assigned detections — over their own slots PLUS
+            # the currently-empty slots' last-seen poses (a switch
+            # that coincides with a dropout leaves the displaced
+            # person's slot empty) — beats the id assignment by the
+            # ratio margin
+            K = len(id_assigned)
+            own = [n for _, n in id_assigned]
+            slots = own + [n for n in range(N) if n not in own]
+            dets = [np.asarray(frame[pid], np.float32)
+                    for pid, _ in id_assigned]
+            refs = [pose2d[last_seen[n], n] for n in slots]
+            cost = np.empty((K, len(slots)), np.float32)
+            for i in range(K):
+                for j in range(len(slots)):
+                    cost[i, j] = pose_distance_2d(dets[i], refs[j])
+            _, cols = linear_sum_assignment(cost)
+            id_cost = float(np.trace(cost[:, :K]))
+            opt_cost = float(cost[np.arange(K), cols].sum())
+            if (not np.array_equal(cols, np.arange(K))
+                    and id_cost > 0.0
+                    and opt_cost < id_swap_fix * id_cost):
+                target = [slots[c] for c in cols]
+                # re-routed slots: evict every stale mapping first so
+                # a reused id can't shadow the correction, then remap
+                # the group's ids to where their detections landed
+                for n in target:
+                    for pid in [p for p, s in slot_of.items()
+                                if s == n]:
+                        del slot_of[pid]
+                for (pid, _), n in zip(id_assigned, target):
+                    slot_of[pid] = n
+        for (pid, _), n in zip(id_assigned, target):
+            pose2d[t, n] = frame[pid]
+            velocity[n] = _update_velocity(
+                pose2d[t, n], pose2d[t - 1, n], velocity[n])
+            last_seen[n] = t
+            tracked[n] = 1
+            del frame[pid]
 
         if tracked.min() == 1:
             continue

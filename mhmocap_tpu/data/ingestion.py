@@ -459,6 +459,7 @@ def load_sequence(
     filter_beta: float = 30.0,
     min_visibility_fraction: float = 1.0 / 8,
     lagged_conf_decay: float = 1.0,
+    id_swap_fix: float = 0.0,
     verbose: bool = True,
 ) -> SequenceArrays:
     """Load and align a full sequence (datautils.py:364-512 + the
@@ -480,7 +481,12 @@ def load_sequence(
     unobserved gap toward zero motion, not toward the GT's motion.
     Frames whose lagged pose was refreshed by a matching
     current-frame SMPL projection are NOT decayed (fresh evidence;
-    the run restarts after them)."""
+    the run restarts after them).
+
+    `id_swap_fix` (default 0.0 = off = reference parity) is the
+    sibling knob for sustained tracker identity switches, forwarded
+    to `tracks_to_array` (see its docstring for the position-over-id
+    Hungarian margin test and the measured numbers)."""
     all_names = sorted(os.path.splitext(os.path.basename(p))[0]
                        for p in glob.glob(
                            os.path.join(data_root, images_path,
@@ -531,7 +537,8 @@ def load_sequence(
                              max_num_people=max_num_people,
                              verbose=verbose,
                              image_names=[n + ".jpg"
-                                          for n in all_names])
+                                          for n in all_names],
+                             id_swap_fix=id_swap_fix)
     pose2d[..., 0:2] *= resize_factor
 
     # joints outside the frame are not visible (datautils.py:441-447)

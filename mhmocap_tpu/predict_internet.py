@@ -40,6 +40,7 @@ def build_internet_sequence(
     filter_min_cutoff=0.01,
     filter_beta=25,
     lagged_conf_decay=1.0,
+    id_swap_fix=0.0,
     **_,
 ):
     frame_ids = (list(range(start_frame, end_frame, step_frame))
@@ -72,6 +73,7 @@ def build_internet_sequence(
         filter_min_cutoff=filter_min_cutoff,
         filter_beta=filter_beta,
         lagged_conf_decay=lagged_conf_decay,
+        id_swap_fix=id_swap_fix,
     )
     return seq, model
 

@@ -44,6 +44,7 @@ def build_mupots_sequence(
     filter_min_cutoff=0.01,
     filter_beta=25,
     lagged_conf_decay=1.0,
+    id_swap_fix=0.0,
     **_,
 ):
     """Ingest one MuPoTs TS sequence + its GT (reference
@@ -87,6 +88,7 @@ def build_mupots_sequence(
         filter_min_cutoff=filter_min_cutoff,
         filter_beta=filter_beta,
         lagged_conf_decay=lagged_conf_decay,
+        id_swap_fix=id_swap_fix,
     )
     pose3d_gt, pose3d_univ_gt, visibility = mupots.slice_ground_truth(
         annot, occl, frame_ids)

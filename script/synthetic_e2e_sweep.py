@@ -38,7 +38,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def make_config(path, data_path, num_iter, raster_window=128,
-                lagged_decay=1.0, gap_interp=False):
+                lagged_decay=1.0, gap_interp=False, swap_fix=0.0):
     import yaml
     cfg = {
         "ARGS": {
@@ -72,6 +72,7 @@ def make_config(path, data_path, num_iter, raster_window=128,
             "end_frame": -1,
             "step_frame": 1,
             "lagged_conf_decay": lagged_decay,
+            "id_swap_fix": swap_fix,
         },
     }
     with open(path, "w") as f:
@@ -136,6 +137,13 @@ def main():
                          "engine/gapfill.py): removes the "
                          "re-acquisition snap that dominates the "
                          "degraded tier's jitter")
+    ap.add_argument("--swap_fix", type=float, default=0.0,
+                    help="id_swap_fix ingestion knob (default 0.0 = "
+                         "reference parity; e.g. 0.5 corrects "
+                         "sustained tracker identity switches when "
+                         "the positional Hungarian beats the id "
+                         "assignment 2x — see tracks_to_array's "
+                         "docstring)")
     args = ap.parse_args()
 
     if args.degraded and args.workdir == "/tmp/mupots_synth":
@@ -144,6 +152,8 @@ def main():
         args.workdir += "_decay"  # separate output tree per knob
     if args.gap_interp:
         args.workdir += "_interp"
+    if args.swap_fix > 0.0:
+        args.workdir += "_swapfix"
 
     if args.num_vertices:
         # the prediction/eval subprocesses resolve the SAME
@@ -196,7 +206,8 @@ def main():
                            data_path, args.num_iter,
                            raster_window=args.raster_window,
                            lagged_decay=args.lagged_decay,
-                           gap_interp=args.gap_interp)
+                           gap_interp=args.gap_interp,
+                           swap_fix=args.swap_fix)
 
     from predict_mupots_sweep import build_commands, run_sweep
     cmds = build_commands(ts_ids, cfg_path, out_path)
@@ -221,6 +232,7 @@ def main():
         "num_iter": args.num_iter,
         "lagged_decay": args.lagged_decay,
         "gap_interp": args.gap_interp,
+        "swap_fix": args.swap_fix,
         "avg": {k: v[-1] for k, v in final.items()},
         "per_ts": {k: v[:-1] for k, v in final.items()
                    if k in ("pck_rel", "mm_rel_error")},

@@ -184,6 +184,9 @@ def test_degraded_predict_eval_completes(degraded_tree,
             "data_path": root, "depth_path": "DPT_large_monodepth",
             "joint_confidence_thr": 0.5, "use_hrnet_pose": False,
             "start_frame": 0, "end_frame": -1, "step_frame": 1,
+            # exercise the opt-in identity-switch correction through
+            # the real pipeline (the tree has an id_switch span)
+            "id_swap_fix": 0.5,
         },
     }
     cfg_path = str(tmp_path_factory.mktemp("cfg") / "degraded.yml")

@@ -163,6 +163,97 @@ def test_tracks_to_array_zero_detection_frames():
     np.testing.assert_array_equal(d[0], b[0])    # matched frames kept
 
 
+def _walking_pose(x, y=20.0):
+    pose = np.zeros((17, 3), np.float32)
+    pose[:, 0] = x
+    pose[:, 1] = y + np.arange(17) * 3.0
+    pose[:, 2] = 0.9
+    return pose
+
+
+def test_id_swap_fix_corrects_sustained_switch():
+    """A sustained tracker identity switch rides straight through the
+    reference's known-id fast path (alphapose.py:119-262 has no gate on
+    already-mapped ids) — pinned here — while the opt-in `id_swap_fix`
+    ratio test re-routes each detection to the positionally consistent
+    slot and remaps the ids once per transition."""
+    T = 10
+    names = [f"img_{t:06d}.jpg" for t in range(T)]
+    # person A walks at x=30+t, person B at x=100+t (far apart)
+    annot = {}
+    for t in range(T):
+        a, b = _walking_pose(30.0 + t), _walking_pose(100.0 + t)
+        if 3 <= t < 6:           # ids swapped inside the span
+            annot[names[t]] = {1: b, 2: a}
+        else:
+            annot[names[t]] = {1: a, 2: b}
+
+    # reference parity (off): the swap passes through — slot 0 carries
+    # person B's x~100 evidence mid-span
+    off = AP.tracks_to_array(annot, max_num_people=2)
+    assert off[4, 0, 0, 0] > 90 and off[4, 1, 0, 0] < 40
+
+    # knob on: every frame keeps the positionally consistent person
+    on = AP.tracks_to_array(annot, max_num_people=2, id_swap_fix=0.5)
+    for t in range(T):
+        np.testing.assert_allclose(on[t, 0, :, 0], 30.0 + t)
+        np.testing.assert_allclose(on[t, 1, :, 0], 100.0 + t)
+
+
+def test_id_swap_fix_handles_dropout_coincident_switch():
+    """The pattern that actually dominates the degraded tree: the
+    identity switch lands on the SAME frame as a detection dropout, so
+    it presents as ONE mis-id'd detection (no permutation to find) —
+    its true home is the other person's now-empty slot. Without the
+    fix the surviving slot jumps to the wrong person AND the displaced
+    slot goes dark for the whole span (the velocity gate rejects the
+    far-away re-acquisition)."""
+    T = 10
+    names = [f"img_{t:06d}.jpg" for t in range(T)]
+    annot = {}
+    for t in range(T):
+        a, b = _walking_pose(30.0 + t), _walking_pose(100.0 + t)
+        if t == 3:
+            annot[names[t]] = {2: a}          # switch-in + B dropout
+        elif 3 < t < 6:
+            annot[names[t]] = {1: b, 2: a}    # swapped span
+        else:
+            annot[names[t]] = {1: a, 2: b}
+
+    # reference parity: slot 1 jumps onto person A at t=3 and carries
+    # them through the span; slot 0 goes dark
+    off = AP.tracks_to_array(annot, max_num_people=2)
+    assert off[4, 1, 0, 0] < 40 and (off[4, 0, :, 2] == 0).all()
+
+    # knob on: the mis-id'd detection is re-routed to the empty slot,
+    # and the vacated slot re-acquires person B through the normal
+    # velocity gate one frame later
+    on = AP.tracks_to_array(annot, max_num_people=2, id_swap_fix=0.5)
+    for t in range(T):
+        np.testing.assert_allclose(on[t, 0, :, 0], 30.0 + t)
+        if t != 3:
+            np.testing.assert_allclose(on[t, 1, :, 0], 100.0 + t)
+    assert (on[3, 1, :, 2] == 0).all()        # the dropped detection
+
+
+def test_id_swap_fix_does_not_flap_on_crossing():
+    """Correct ids through a genuine crossing: distances are near-tie
+    around the crossing frame, so the ratio margin must reject every
+    permutation and the output must be bit-identical to the off
+    path."""
+    T = 13
+    names = [f"img_{t:06d}.jpg" for t in range(T)]
+    annot = {names[t]: {1: _walking_pose(30.0 + 5 * t),
+                        2: _walking_pose(90.0 - 5 * t)}
+             for t in range(T)}
+    off = AP.tracks_to_array(annot, max_num_people=2)
+    on = AP.tracks_to_array(annot, max_num_people=2, id_swap_fix=0.5)
+    np.testing.assert_array_equal(on, off)
+    # and the slots really did cross in image space (ids honored)
+    assert off[0, 0, 0, 0] < off[0, 1, 0, 0]
+    assert off[T - 1, 0, 0, 0] > off[T - 1, 1, 0, 0]
+
+
 def test_split_instance_masks_golden():
     inst = np.zeros((1, 4, 4), np.uint8)
     inst[0, 0, 0] = 1
