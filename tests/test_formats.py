@@ -225,3 +225,34 @@ def test_alphapose_json_contract(tmp_path):
     assert pose2d.shape == (2, 1, 17, 3)
     np.testing.assert_allclose(pose2d[0, 0], kpts, atol=1e-5)
     np.testing.assert_allclose(pose2d[1, 0], kpts + 1, atol=1e-5)
+
+
+def test_shipped_configs_parse_through_loader():
+    """Every configs/*.yml must parse through the real argparse+YAML
+    merge (config.py parity loader); the robust profile must land its
+    three degraded-input knobs where the entry points read them (ARGS
+    attribute for gap_interpolate, data group for the two ingestion
+    knobs), and the reference-parity profile must leave all three at
+    their off defaults."""
+    import glob as _glob
+    from mhmocap_tpu.config import PROJECT_DIR, parse_args
+
+    ymls = sorted(_glob.glob(os.path.join(PROJECT_DIR, "configs", "*.yml")))
+    assert len(ymls) >= 4
+    for yml in ymls:
+        parsed = parse_args(["--configs_yml", yml])
+        assert parsed.resize_factor > 0
+
+    robust = parse_args(["--configs_yml",
+                         os.path.join(PROJECT_DIR, "configs",
+                                      "predict_mupots_robust.yml")])
+    assert robust.gap_interpolate is True
+    assert robust.data["lagged_conf_decay"] == 0.8
+    assert robust.data["id_swap_fix"] == 0.5
+
+    parity = parse_args(["--configs_yml",
+                         os.path.join(PROJECT_DIR, "configs",
+                                      "predict_mupots.yml")])
+    assert getattr(parity, "gap_interpolate", False) is False
+    assert "lagged_conf_decay" not in parity.data
+    assert "id_swap_fix" not in parity.data
