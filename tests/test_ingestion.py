@@ -388,3 +388,32 @@ def test_decay_lagged_confidences_runs_and_resets():
     np.testing.assert_array_equal(
         decay_lagged_confidences(pose2d, lagged, 1.0)[..., 2],
         pose2d[..., 2])
+
+
+def test_id_swap_fix_identity_on_random_clean_tracks():
+    """Property guard for the step-1 rewrite: on randomized scenes with
+    honest track ids (random walks, staggered entries, NO switches, NO
+    dropout) the correction must never fire — `id_swap_fix=0.5` output
+    is bit-identical to the reference-parity path for every seed."""
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        T = int(rng.randint(6, 20))
+        N = int(rng.randint(1, 4))
+        # well-separated starting columns, small random walks
+        base_x = 60.0 + 120.0 * np.arange(N)
+        enter = rng.randint(0, 3, size=N)  # staggered entries
+        annot = {}
+        walks = [base_x[n] + np.cumsum(rng.randn(T) * 2.0)
+                 for n in range(N)]
+        for t in range(T):
+            frame = {}
+            for n in range(N):
+                if t >= enter[n]:
+                    frame[n + 1] = _walking_pose(
+                        float(walks[n][t]), y=20.0 + rng.rand() * 4)
+            if frame:
+                annot[f"img_{t:06d}.jpg"] = frame
+        off = AP.tracks_to_array(annot, max_num_people=N)
+        on = AP.tracks_to_array(annot, max_num_people=N,
+                                id_swap_fix=0.5)
+        np.testing.assert_array_equal(on, off, err_msg=f"trial {trial}")
