@@ -161,42 +161,13 @@ def bench_bare_cycle(pred, n_meas=3):
 
 
 def _wait_for_backend(retries=4, wait_s=120, probe_timeout_s=600):
-    """Probe jax.devices() with a retry loop: the remote TPU tunnel
-    has measured multi-minute outages (both fast 'Unavailable' errors
-    and indefinite hangs), and the driver invokes bench.py exactly
-    once per round — a transient outage must not cost the round's
-    BENCH record. SIGALRM bounds only the probe; real compiles later
-    may legitimately take minutes and are not alarmed."""
-    import signal
-
-    def _on_alarm(signum, frame):
-        raise TimeoutError(f"jax.devices() probe exceeded "
-                           f"{probe_timeout_s}s (tunnel hang)")
-
-    prev = signal.signal(signal.SIGALRM, _on_alarm)
-    try:
-        for attempt in range(retries):
-            try:
-                signal.alarm(probe_timeout_s)
-                try:
-                    dev = jax.devices()
-                finally:
-                    signal.alarm(0)
-                return dev
-            except (RuntimeError, TimeoutError) as e:
-                print(f"# backend probe {attempt + 1}/{retries} "
-                      f"failed: {type(e).__name__}: {e}", flush=True)
-                if attempt == retries - 1:
-                    raise
-                try:
-                    # jax memoizes backend-init failures; drop them so
-                    # the next probe actually re-dials the tunnel
-                    jax.extend.backend.clear_backends()
-                except Exception:
-                    pass
-                time.sleep(wait_s)
-    finally:
-        signal.signal(signal.SIGALRM, prev)
+    """Bounded first contact (mhmocap_tpu.backend.wait_for_backend):
+    the remote TPU tunnel has measured multi-hour outages and the
+    driver invokes bench.py exactly once per round — a transient
+    outage must not cost the round's BENCH record."""
+    from mhmocap_tpu.backend import wait_for_backend
+    return wait_for_backend(retries=retries, wait_s=wait_s,
+                            probe_timeout_s=probe_timeout_s)
 
 
 def main():

@@ -174,6 +174,13 @@ def main():
         jax.config.update("jax_compilation_cache_dir",
                           os.environ["JAX_COMPILATION_CACHE_DIR"])
 
+    if args.platform != "cpu":
+        # bound first contact with the remote TPU tunnel (it has
+        # measured multi-hour outages that otherwise hang generation
+        # indefinitely before the first progress line)
+        from mhmocap_tpu.backend import wait_for_backend
+        wait_for_backend()
+
     data_path = os.path.join(args.workdir, "data")
     out_path = os.path.join(args.workdir, "out")
     log_dir = os.path.join(args.workdir, "logs")
