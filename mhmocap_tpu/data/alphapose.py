@@ -20,7 +20,8 @@ from typing import Dict, Optional
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from .assignment import match_pose_sets, pose_distance_2d
+from .assignment import (SENTINEL_DISTANCE, match_pose_sets,
+                         pose_distance_2d)
 
 
 def load_tracking_results(
@@ -151,7 +152,14 @@ def tracks_to_array(
     detection whose true home is the empty slot, not as a permutation
     — and the optimal re-routing replaces the id assignment only when
     its total pose distance is < r * the id assignment's total, so
-    genuine crossings (near-tie distances) never flap. Track-id
+    genuine crossings (near-tie distances) never flap. Pairs with NO
+    mutually confident joint carry the 99999 no-shared-joints sentinel
+    from `pose_distance_2d`; a sentinel in either side of the margin
+    test makes the ratio meaningless (an id-correct detection whose
+    visible joints are disjoint from its own slot's last-seen pose
+    would inflate id_cost until any finite permutation "wins"), so the
+    correction is skipped — the id assignment stands — whenever a
+    sentinel enters id_cost or opt_cost. Track-id
     mappings follow the correction (evicting stale mappings of the
     re-routed slots), so a sustained swap is fixed once at switch-in
     (and once more at switch-out, when the JSON swaps back); the slot
@@ -217,10 +225,17 @@ def tracks_to_array(
                 for j in range(len(slots)):
                     cost[i, j] = pose_distance_2d(dets[i], refs[j])
             _, cols = linear_sum_assignment(cost)
-            id_cost = float(np.trace(cost[:, :K]))
-            opt_cost = float(cost[np.arange(K), cols].sum())
+            diag = cost[np.arange(K), np.arange(K)]
+            chosen = cost[np.arange(K), cols]
+            id_cost = float(diag.sum())
+            opt_cost = float(chosen.sum())
+            # the 99999 no-shared-joints sentinel makes the margin
+            # test meaningless (see docstring): skip the correction
+            # when it enters either total
+            no_sentinel = (float(diag.max()) < SENTINEL_DISTANCE
+                           and float(chosen.max()) < SENTINEL_DISTANCE)
             if (not np.array_equal(cols, np.arange(K))
-                    and id_cost > 0.0
+                    and id_cost > 0.0 and no_sentinel
                     and opt_cost < id_swap_fix * id_cost):
                 target = [slots[c] for c in cols]
                 # re-routed slots: evict every stale mapping first so

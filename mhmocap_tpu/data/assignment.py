@@ -13,6 +13,11 @@ from __future__ import annotations
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
+# pose_distance_2d's no-mutually-visible-joints sentinel (reference
+# alphapose.py:104 returns this exact literal); exported so callers
+# can detect sentinel-poisoned comparisons.
+SENTINEL_DISTANCE = 99999.0
+
 
 def pose_set_cost_matrix(ref: np.ndarray, pred: np.ndarray,
                          thr: float = 0.5) -> np.ndarray:
@@ -52,7 +57,7 @@ def pose_distance_2d(pose1: np.ndarray, pose2: np.ndarray,
     """
     mask = ((pose1[:, 2] > thr) & (pose2[:, 2] > thr)).astype(np.float32)
     if mask.sum() < 1:
-        return 99999.0
+        return SENTINEL_DISTANCE
     diff = (pose1[:, :2] - pose2[:, :2]) * mask[:, None]
     per_coord = np.sqrt(np.sum(diff ** 2, axis=0))   # (2,)
     return float(np.sum(per_coord) / mask.sum())

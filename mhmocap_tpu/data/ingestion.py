@@ -299,14 +299,22 @@ def assign_smpl_to_poses(
         n_people = N
         joints2d = joints2d_all[f]
 
-        # lagged-track imputation for lost 2D poses
+        # lagged-track imputation for lost 2D poses. Frame 0 has no
+        # previous pose to copy (the reference leaves it zero,
+        # datautils.py:305 guards f > 0 — reproduced), but a person
+        # with no frame-0 evidence is still STALE for lagged_tn
+        # purposes: without the flag, a not-yet-entered person's stale
+        # run starts at t=1 with frame 0 treated as observed, so
+        # gapfill interpolates from frame 0's unconstrained fitted
+        # pose instead of holding the true entry pose (round-4
+        # advisor).
         lagged = np.zeros((n_people,), bool)
         missing = np.sum(p2d[..., 2] >= 0.2, axis=1) < 2
+        lagged[missing] = True
         if f > 0 and missing.any():
             prev = pose2d[f - 1][missing].copy()
             prev[..., 2] = np.clip(prev[..., 2], 0, 0.502)
             p2d[missing] = prev
-            lagged[missing] = True
 
         conf = 0.502 * smpl["valid"][:, :, None] * np.ones(
             (joints2d.shape[0], joints2d.shape[1], 1), np.float32)

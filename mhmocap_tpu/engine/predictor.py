@@ -377,13 +377,20 @@ class Predictor:
         # lagged_conf_decay, the zero-motion drift) leaves behind.
         # Observed frames are untouched, so clean sequences are
         # bit-identical; the frame count is recorded for auditability.
-        if bool(getattr(self.args, "gap_interpolate", False)) \
-                and seq.lagged_tn is not None and seq.lagged_tn.any():
-            from .gapfill import interpolate_gap_trajectories
-            (stage1_optvar["poses_T"], stage1_optvar["poses_smpl"],
-             n_gap) = interpolate_gap_trajectories(
-                stage1_optvar["poses_T"], stage1_optvar["poses_smpl"],
-                seq.lagged_tn)
+        if bool(getattr(self.args, "gap_interpolate", False)):
+            # the audit key is written whenever the knob is ON (0 when
+            # the pass is a no-op), so the artifact distinguishes
+            # 'knob off' (key absent) from 'knob on, zero gaps'
+            # (round-4 advisor; docs/API.md documents the key as an
+            # unconditional record of the knob)
+            n_gap = 0
+            if seq.lagged_tn is not None and seq.lagged_tn.any():
+                from .gapfill import interpolate_gap_trajectories
+                (stage1_optvar["poses_T"],
+                 stage1_optvar["poses_smpl"],
+                 n_gap) = interpolate_gap_trajectories(
+                    stage1_optvar["poses_T"],
+                    stage1_optvar["poses_smpl"], seq.lagged_tn)
             stage1_optvar["gap_interp_frames"] = n_gap
             if verbose and n_gap:
                 print(f"gap_interpolate: {n_gap} unobserved "

@@ -361,6 +361,38 @@ def test_lagged_tn_marks_unrefreshed_dropout_frames(seq_tree):
     assert np.allclose(out2d[2:4, 1, :, 2], 0.502)
 
 
+def test_lagged_tn_flags_evidence_free_frame_zero(seq_tree):
+    """A person absent at the START of the sequence must be stale from
+    frame 0 (round-4 advisor): frame 0 has no previous pose to copy
+    (reference parity keeps it zero-confidence, datautils.py:305), but
+    treating it as OBSERVED made gapfill interpolate not-yet-entered
+    spans from frame 0's unconstrained fitted pose instead of holding
+    the entry pose."""
+    root, gt = seq_tree
+    from mhmocap_tpu.data.ingestion import assign_smpl_to_poses
+    T, N = 5, 2
+    rng = np.random.RandomState(3)
+    preds = [{
+        "cam": np.tile(np.array([[1.0, 0, 0]], np.float32), (N, 1)),
+        "poses": rng.randn(N, 72).astype(np.float32) * 0.1,
+        "betas": np.zeros((N, 10), np.float32),
+    } for _ in range(T)]
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 2] = 0.9
+    pose2d[..., 0] = np.linspace(30, 90, N)[None, :, None]
+    pose2d[..., 1] = 60
+    pose2d[:3, 1, :, 2] = 0.0            # person 1 enters at t=3
+
+    _, out2d, lagged = assign_smpl_to_poses(
+        preds, pose2d, (128, 128), _joints_fn(gt["model"]))
+    expect = np.zeros((T, N), bool)
+    expect[:3, 1] = True                 # INCLUDING frame 0
+    np.testing.assert_array_equal(lagged, expect)
+    # frame 0's pose content is reference-parity untouched (all-zero
+    # confidence, no lagged copy exists to impute)
+    assert np.all(out2d[0, 1, :, 2] == 0.0)
+
+
 def test_decay_lagged_confidences_runs_and_resets():
     """decay**k per consecutive stale frame, reset on real evidence;
     non-lagged frames and decay=1.0 are untouched."""
@@ -417,3 +449,32 @@ def test_id_swap_fix_identity_on_random_clean_tracks():
         on = AP.tracks_to_array(annot, max_num_people=N,
                                 id_swap_fix=0.5)
         np.testing.assert_array_equal(on, off, err_msg=f"trial {trial}")
+
+
+def test_id_swap_fix_skips_sentinel_disjoint_joint_sets():
+    """Regression (round-4 advisor, medium): an id-CORRECT detection
+    whose confident-joint set is disjoint from its own slot's last-seen
+    pose puts the 99999 no-shared-joints sentinel on the margin test's
+    diagonal, inflating id_cost until any finite wrong-person
+    permutation "wins" — the knob then permanently identity-swaps two
+    correctly-tracked people (realistic partial occlusion: upper-body
+    joints one frame, lower-body the next). The sentinel guard must
+    keep the id assignment instead."""
+    T = 8
+    names = [f"img_{t:06d}.jpg" for t in range(T)]
+    annot = {}
+    for t in range(T):
+        a, b = _walking_pose(30.0 + t), _walking_pose(100.0 + t)
+        if t == 3:               # A visible only below the waist
+            a[:9, 2] = 0.1
+        elif t == 4:             # next frame only above: disjoint sets
+            a[9:, 2] = 0.1
+        annot[names[t]] = {1: a, 2: b}
+
+    off = AP.tracks_to_array(annot, max_num_people=2)
+    on = AP.tracks_to_array(annot, max_num_people=2, id_swap_fix=0.5)
+    np.testing.assert_array_equal(on, off)
+    # both slots track their own person through and after the occlusion
+    for t in range(T):
+        assert on[t, 0, 0, 0] < 40.0, t
+        assert on[t, 1, 0, 0] > 90.0, t
