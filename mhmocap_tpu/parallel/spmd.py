@@ -96,9 +96,14 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
                     cfg: E.EngineConfig, mesh: Mesh):
     """Full-sequence loss as a shard_map over the time axis."""
     n_dev = mesh.shape[TIME_AXIS]
-    assert cfg.padded_frames % (n_dev * cfg.chunk) == 0, (
-        f"padded_frames {cfg.padded_frames} must divide into "
-        f"{n_dev} devices x chunk {cfg.chunk}")
+    if cfg.padded_frames % (n_dev * cfg.chunk) != 0:
+        # a real exception, not an assert: direct callers (scripts,
+        # notebooks) must fail loud under `python -O` too; the
+        # Predictor's warn-and-fallback guard covers the production
+        # path (predictor.py fit)
+        raise ValueError(
+            f"padded_frames {cfg.padded_frames} must divide into "
+            f"{n_dev} devices x chunk {cfg.chunk}")
     local_chunks = cfg.padded_frames // (n_dev * cfg.chunk)
 
     @functools.partial(
