@@ -122,6 +122,27 @@ class EngineConfig:
     # programs — remote TPU compiles cost minutes, padding costs
     # masked-out frames.
     frame_bucket: int = 64
+    # Opt-in (parity-off) gap-aware temporal losses for detection
+    # dropout. The reference anchors unobserved spans to a STALE 2D
+    # copy (datautils.py:326-333) and its velocity/filtered-verts
+    # regularizers (optimizer.py:560-573) smear the distortion into
+    # the OBSERVED frames flanking the gap — which no post-fit pass
+    # may touch (round-4 decomposition, docs/PARITY.md). When on:
+    # temporal PAIR terms (velocity, filtered-verts smoothness, foot
+    # sliding) are masked on pairs with a stale endpoint, and an
+    # acceleration penalty (coefs['reg_gap_accel']) over triples
+    # touching a stale frame makes the unobserved trajectory
+    # INTERPOLATE during the fit instead of freezing at the anchor or
+    # collapsing to zero motion. Clean sequences (no stale frames)
+    # are unchanged. Requires SeqData.stale_tn; chunk halos widen to
+    # 2 frames (the acceleration stencil).
+    gap_aware_temporal: bool = False
+
+    @property
+    def halo(self) -> int:
+        """Left-halo frames per chunk: 1 for the pair terms, 2 when
+        the gap acceleration stencil is active."""
+        return 2 if self.gap_aware_temporal else 1
 
     @property
     def use_remat(self) -> bool:
@@ -200,6 +221,9 @@ class SeqData(NamedTuple):
     valid_smpl: jax.Array   # (Tp, N, 1) thresholded > 0.7
     frame_valid: jax.Array  # (Tp,)
     cam_K: jax.Array        # (3, 3)
+    stale_tn: jax.Array     # (Tp, N) f32 1 = no current-frame 2D
+    #                         evidence (SequenceArrays.lagged_tn);
+    #                         consumed by cfg.gap_aware_temporal
 
 
 class StageAux(NamedTuple):
@@ -232,6 +256,9 @@ def default_coefs() -> Dict[str, float]:
         "reg_poses": 0.002, "reg_scales": 1e-4, "reg_velocity": 0.05,
         "reg_verts_filter": 0.002, "reg_contact": 0.001,
         "reg_foot_sliding": 0.01,
+        # gap acceleration penalty (cfg.gap_aware_temporal only; no
+        # reference analog) — defaults to the velocity coefficient
+        "reg_gap_accel": 0.05,
     }
 
 
@@ -273,6 +300,10 @@ def prepare_seq_data(seq, cfg: EngineConfig) -> SeqData:
             _pad_t((seq.valid_smpl > 0.7).astype(np.float32), tp)),
         frame_valid=jnp.asarray(frame_valid),
         cam_K=jnp.asarray(seq.cam["K"].astype(np.float32)),
+        stale_tn=jnp.asarray(_pad_t(
+            np.zeros((cfg.num_frames, cfg.num_people), np.float32)
+            if getattr(seq, "lagged_tn", None) is None
+            else np.asarray(seq.lagged_tn, np.float32), tp)),
     )
 
 
@@ -468,7 +499,8 @@ def _gather_windows_shared(img_c, origins, win):
 
 LOG_KEYS = ("loss_pose24j", "loss_depth", "loss_silhouette",
             "reg_ref_poses", "reg_scale", "reg_contact",
-            "reg_foot_sliding", "reg_vel", "reg_filter_verts")
+            "reg_foot_sliding", "reg_vel", "reg_filter_verts",
+            "reg_gap_accel")
 
 
 def remat_policy():
@@ -484,13 +516,15 @@ def remat_policy():
 
 
 class ChunkInputs(NamedTuple):
-    """All tensors of one frame chunk [t0, t0+C) with a 1-frame halo
-    (leading element of *_h arrays is frame t0-1). Built either by
-    `_slice_chunk` (single device) or from local shards + ppermute
-    halo exchange (parallel/spmd.py)."""
+    """All tensors of one frame chunk [t0, t0+C) with a left halo of
+    `cfg.halo` frames (leading elements of *_h arrays are frames
+    t0-halo .. t0-1; halo is 1, or 2 when cfg.gap_aware_temporal
+    widens the stencil). Built either by `_slice_chunk` (single
+    device) or from local shards + ppermute halo exchange
+    (parallel/spmd.py)."""
 
-    poses_T_h: jax.Array       # (C+1, N, 1, 3)
-    poses_smpl_h: jax.Array    # (C+1, N, 72)
+    poses_T_h: jax.Array       # (C+halo, N, 1, 3)
+    poses_smpl_h: jax.Array    # (C+halo, N, 72)
     min_z_c: jax.Array         # (C, 1, 1)
     max_z_c: jax.Array         # (C, 1, 1)
     depths_c: jax.Array        # (C, H, W)
@@ -499,21 +533,26 @@ class ChunkInputs(NamedTuple):
     pose2d_c: jax.Array        # (C, N, 17, 3)
     ref_poses_c: jax.Array     # (C, N, 72)
     valid_smpl_c: jax.Array    # (C, N, 1)
-    frame_valid_h: jax.Array   # (C+1,)
+    frame_valid_h: jax.Array   # (C+halo,)
     global_t: jax.Array        # (C,) int
     dvf_c: jax.Array           # (C, N, V, 3) bf16 filtered-diff targets
+    # (C+2, N) stale-frame mask, only when cfg.gap_aware_temporal
+    # (None otherwise — the parity path never touches it)
+    stale_h: Optional[jax.Array] = None
 
 
 def _slice_chunk(params: StageParams, data: SeqData, aux: StageAux,
                  cfg: EngineConfig, chunk_idx) -> ChunkInputs:
     """Gather one chunk's tensors from the full-sequence arrays."""
-    C = cfg.chunk
+    C, hl = cfg.chunk, cfg.halo
     t0 = chunk_idx * C
-    halo_idx = jnp.clip(t0 - 1 + jnp.arange(C + 1), 0, None)
+    halo_idx = jnp.clip(t0 - hl + jnp.arange(C + hl), 0, None)
     take = lambda arr: jnp.take(arr, halo_idx, axis=0)
     takec = lambda arr: lax.dynamic_slice_in_dim(arr, t0, C, axis=0)
     min_z, max_z = z_bounds_of(params, cfg)
     return ChunkInputs(
+        stale_h=(take(data.stale_tn) if cfg.gap_aware_temporal
+                 else None),
         poses_T_h=take(params.poses_T),
         poses_smpl_h=take(params.poses_smpl),
         min_z_c=takec(min_z),
@@ -539,23 +578,40 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     Includes all per-frame terms plus the temporal pairs (velocity,
     filtered-verts smoothness, foot sliding) of this chunk's frames
     against their predecessors, so the total over chunks covers every
-    consecutive-frame pair exactly once.
+    consecutive-frame pair exactly once. With cfg.gap_aware_temporal
+    the halo is 2 frames and the acceleration triples centered at
+    frames [t0-1, t0+C-2] likewise tile the sequence exactly once.
     """
     C = cfg.chunk
     N = cfg.num_people
     W, H = cfg.image_size
 
-    poses_T_h = chunk.poses_T_h
-    poses_smpl_h = chunk.poses_smpl_h
+    # *_h arrays carry cfg.halo leading halo frames; everything
+    # outside the gap-acceleration stencil uses the 1-frame-halo view
+    # (identical slicing when halo == 1, so the parity path is
+    # untouched)
+    hoff = cfg.halo - 1
+    poses_T_h = chunk.poses_T_h[hoff:]
+    poses_smpl_h = chunk.poses_smpl_h[hoff:]
     min_z_c, max_z_c = chunk.min_z_c, chunk.max_z_c
     depths_c, seg_c = chunk.depths_c, chunk.seg_c
     pose2d_c, ref_poses_c = chunk.pose2d_c, chunk.ref_poses_c
     valid_smpl_c = chunk.valid_smpl_c
-    frame_valid_h = chunk.frame_valid_h
+    frame_valid_h = chunk.frame_valid_h[hoff:]
     frame_valid_c = frame_valid_h[1:]
     # pair (t-1, t) valid: both frames real and t > 0 globally
     pair_valid = (frame_valid_h[:-1] * frame_valid_c
                   * (chunk.global_t > 0))         # (C,)
+    # gap-aware gating (cfg docstring): pair weight drops pairs with a
+    # stale endpoint so the stale anchor cannot smear the flanking
+    # OBSERVED frames through the pair terms (reference
+    # optimizer.py:560-573 has no such gate — its gaps freeze or drag)
+    if cfg.gap_aware_temporal:
+        stale_h2 = chunk.stale_h                  # (C+2, N)
+        pair_obs = 1.0 - jnp.maximum(stale_h2[1:-1], stale_h2[2:])
+        pair_w = pair_obs[:, :, None, None]       # (C, N, 1, 1)
+    else:
+        pair_w = jnp.ones((), jnp.float32)
 
     verts_abs_h, joints_abs_h = _smpl_bodies(
         model, poses_smpl_h, betas, scale, poses_T_h)
@@ -683,8 +739,9 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
                              axis=-1)[..., None, None]
         low_tm1 = jnp.take_along_axis(
             verts_abs_h[:-1], idx_low[1:].repeat(3, -1), axis=-2)
-        fs_num = jnp.sum(jnp.abs(pv * in_contact * (low - low_tm1)))
-        fs_den = jnp.clip(jnp.sum(pv * in_contact), 1.0)
+        fs_gate = pv * pair_w * in_contact
+        fs_num = jnp.sum(jnp.abs(fs_gate * (low - low_tm1)))
+        fs_den = jnp.clip(jnp.sum(fs_gate), 1.0)
         return reg_c, fs_num / fs_den
 
     reg_contact, reg_foot_sliding = lax.cond(
@@ -704,11 +761,37 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
     dvf = chunk.dvf_c.astype(jnp.float32)
     gv_diff = verts_abs - verts_abs_h[:-1]
     reg_filter_verts = aux.have_filters * jnp.sum(
-        jnp.square(pv * (gv_diff - dvf)))
+        jnp.square(pv * pair_w * (gv_diff - dvf)))
 
     # --- velocity regularizer on this chunk's pairs (optimizer.py:560)
     reg_vel = jnp.sum(jnp.square(
-        pv * (poses_T_h[1:] - poses_T_h[:-1])))
+        pv * pair_w * (poses_T_h[1:] - poses_T_h[:-1])))
+
+    # --- gap acceleration penalty (cfg.gap_aware_temporal only; no
+    # reference analog): over triples (t-1, t, t+1) touching a stale
+    # frame, penalize second differences of the root translation and
+    # the SMPL pose angles so the unobserved span INTERPOLATES between
+    # its observed endpoints (an accel-free trajectory through fixed
+    # endpoints is the linear one) instead of freezing at the stale
+    # anchor (velocity term) or collapsing to zero motion
+    # (lagged_conf_decay alone). Triples tile the sequence exactly
+    # once across chunks: centers [t0-1, t0+C-2].
+    reg_gap_accel = jnp.zeros(())
+    if cfg.gap_aware_temporal:
+        pT2, pS2 = chunk.poses_T_h, chunk.poses_smpl_h   # (C+2, ...)
+        fv2 = chunk.frame_valid_h                        # (C+2,)
+        tri_stale = jnp.maximum(jnp.maximum(stale_h2[:-2],
+                                            stale_h2[1:-1]),
+                                stale_h2[2:])            # (C, N)
+        center_t = chunk.global_t - 1
+        tri_valid = (fv2[:-2] * fv2[1:-1] * fv2[2:]
+                     * (center_t >= 1))                  # (C,)
+        w_tri = tri_valid[:, None] * tri_stale           # (C, N)
+        accel_T = pT2[2:] - 2.0 * pT2[1:-1] + pT2[:-2]
+        accel_P = pS2[2:] - 2.0 * pS2[1:-1] + pS2[:-2]
+        reg_gap_accel = (
+            jnp.sum(jnp.square(w_tri[:, :, None, None] * accel_T))
+            + jnp.sum(jnp.square(w_tri[:, :, None] * accel_P)))
 
     loss = (coefs["proj2d"] * loss_pose
             + coefs["depth"] * loss_depth
@@ -718,9 +801,11 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
             + coefs["reg_foot_sliding"] * reg_foot_sliding
             + coefs["reg_verts_filter"] * reg_filter_verts
             + coefs["reg_velocity"] * reg_vel)
+    if cfg.gap_aware_temporal:
+        loss = loss + coefs["reg_gap_accel"] * reg_gap_accel
     parts = jnp.stack([loss_pose, loss_depth, loss_sil, reg_ref,
                        jnp.zeros(()), reg_contact, reg_foot_sliding,
-                       reg_vel, reg_filter_verts])
+                       reg_vel, reg_filter_verts, reg_gap_accel])
     return loss, parts
 
 

@@ -188,6 +188,12 @@ class Predictor:
             batch_size_ref=int(getattr(parsed_args, "batch_size", 10)),
             pose17j_weights=self._joint_weights(parsed_args,
                                                 "pose17j_weights"),
+            # opt-in gap-aware temporal losses (EngineConfig docstring;
+            # parity-off): only engaged when the ingested sequence
+            # actually carries a stale-frame mask
+            gap_aware_temporal=bool(
+                getattr(parsed_args, "gap_aware_temporal", False))
+            and seq.lagged_tn is not None,
         )
         # Accepted for config-surface parity but never applied, exactly
         # like the reference: pose24j_weights is normalized and stored
@@ -206,6 +212,13 @@ class Predictor:
             "reg_contact": parsed_args.reg_contact_coef,
             "reg_foot_sliding": parsed_args.reg_foot_sliding_coef,
         }
+        # gap acceleration coefficient (only read by the loss when
+        # cfg.gap_aware_temporal): defaults to the velocity coefficient
+        # — the penalty replaces the velocity term across stale spans
+        gap_coef = getattr(self.args, "reg_gap_accel_coef", None)
+        self.coefs["reg_gap_accel"] = (
+            parsed_args.reg_velocity_coef if gap_coef is None
+            else float(gap_coef))
 
     # ------------------------------------------------------------------
     @staticmethod

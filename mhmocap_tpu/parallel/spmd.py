@@ -54,7 +54,8 @@ def _data_specs() -> E.SeqData:
         seg_eroded=P(TIME_AXIS),
         backmask=P(TIME_AXIS), pose2d=P(TIME_AXIS),
         poses_smpl_ref=P(TIME_AXIS), valid_smpl=P(TIME_AXIS),
-        frame_valid=P(TIME_AXIS), cam_K=P())
+        frame_valid=P(TIME_AXIS), cam_K=P(),
+        stale_tn=P(TIME_AXIS))
 
 
 def _aux_specs() -> E.StageAux:
@@ -83,13 +84,15 @@ def shard_aux(aux: E.StageAux, mesh: Mesh) -> E.StageAux:
         lambda s: NamedSharding(mesh, s), _aux_specs()))
 
 
-def _halo_from_left(x_local: jax.Array, mesh: Mesh) -> jax.Array:
-    """Receive the left neighbor's last frame: shift +1 around the
-    ring; device 0 receives device D-1's frame, which is masked out by
-    the global_t > 0 pair gate."""
+def _halo_from_left(x_local: jax.Array, mesh: Mesh,
+                    width: int = 1) -> jax.Array:
+    """Receive the left neighbor's last `width` frames: shift +1
+    around the ring; device 0 receives device D-1's frames, which are
+    masked out by the global_t > 0 pair gate (and the center >= 1
+    triple gate when the gap-aware 2-frame halo is active)."""
     n = mesh.shape[TIME_AXIS]
     perm = [(i, (i + 1) % n) for i in range(n)]
-    return lax.ppermute(x_local[-1:], TIME_AXIS, perm)
+    return lax.ppermute(x_local[-width:], TIME_AXIS, perm)
 
 
 def spmd_cycle_loss(params, model, data, aux, coefs,
@@ -113,16 +116,20 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
         out_specs=(P(), P()),
         check_vma=False)
     def local_loss(params_l, model, data_l, aux_l, coefs_l):
-        C = cfg.chunk
+        C, hl = cfg.chunk, cfg.halo
         dev = lax.axis_index(TIME_AXIS)
         t_base = dev * local_chunks * C
 
-        # halo: previous frame of each local block from the left
-        # neighbor (ICI ring shift)
+        # halo: the previous `hl` frames of each local block from the
+        # left neighbor (ICI ring shift; hl == 2 when the gap-aware
+        # acceleration stencil is active, so the stale mask rides the
+        # same exchange)
         halo = {
-            "poses_T": _halo_from_left(params_l.poses_T, mesh),
-            "poses_smpl": _halo_from_left(params_l.poses_smpl, mesh),
-            "frame_valid": _halo_from_left(data_l.frame_valid, mesh),
+            "poses_T": _halo_from_left(params_l.poses_T, mesh, hl),
+            "poses_smpl": _halo_from_left(params_l.poses_smpl, mesh,
+                                          hl),
+            "frame_valid": _halo_from_left(data_l.frame_valid, mesh,
+                                           hl),
         }
         poses_T_x = jnp.concatenate([halo["poses_T"],
                                      params_l.poses_T], axis=0)
@@ -130,6 +137,10 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
                                         params_l.poses_smpl], axis=0)
         fv_x = jnp.concatenate([halo["frame_valid"],
                                 data_l.frame_valid], axis=0)
+        if cfg.gap_aware_temporal:
+            stale_x = jnp.concatenate(
+                [_halo_from_left(data_l.stale_tn, mesh, hl),
+                 data_l.stale_tn], axis=0)
 
         scale = E.scale_factor_of(params_l)
         min_z, max_z = E.z_bounds_of(params_l, cfg)
@@ -137,7 +148,7 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
         def chunk_inputs(i):
             t0 = i * C
             sl = lambda a: lax.dynamic_slice_in_dim(a, t0, C, axis=0)
-            slh = lambda a: lax.dynamic_slice_in_dim(a, t0, C + 1,
+            slh = lambda a: lax.dynamic_slice_in_dim(a, t0, C + hl,
                                                      axis=0)
             return E.ChunkInputs(
                 poses_T_h=slh(poses_T_x),
@@ -152,6 +163,8 @@ def spmd_cycle_loss(params, model, data, aux, coefs,
                 frame_valid_h=slh(fv_x),
                 global_t=t_base + t0 + jnp.arange(C),
                 dvf_c=sl(aux_l.verts_filt_diff),
+                stale_h=(slh(stale_x) if cfg.gap_aware_temporal
+                         else None),
             )
 
         def chunk_fn(i):

@@ -38,12 +38,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 
 
 def make_config(path, data_path, num_iter, raster_window=128,
-                lagged_decay=1.0, gap_interp=False, swap_fix=0.0):
+                lagged_decay=1.0, gap_interp=False, swap_fix=0.0,
+                gap_temporal=False):
     import yaml
     cfg = {
         "ARGS": {
             "batch_size": 10,
             "gap_interpolate": gap_interp,
+            "gap_aware_temporal": gap_temporal,
             "resize_factor": 1.0,
             "erode_segmentation_iters": 0,
             "erode_backmask_iters": 0,
@@ -137,6 +139,16 @@ def main():
                          "engine/gapfill.py): removes the "
                          "re-acquisition snap that dominates the "
                          "degraded tier's jitter")
+    ap.add_argument("--gap_temporal", action="store_true",
+                    help="gap-aware temporal losses DURING the fit "
+                         "(opt-in engine knob, EngineConfig."
+                         "gap_aware_temporal): mask the velocity/"
+                         "filtered-verts/foot-sliding pair terms on "
+                         "stale endpoints and penalize acceleration "
+                         "across stale triples so dropout gaps "
+                         "interpolate instead of freezing — treats "
+                         "the flanking-observed-frame jitter the "
+                         "post-fit passes cannot touch")
     ap.add_argument("--swap_fix", type=float, default=0.0,
                     help="id_swap_fix ingestion knob (default 0.0 = "
                          "reference parity; e.g. 0.5 corrects "
@@ -154,6 +166,8 @@ def main():
         args.workdir += "_interp"
     if args.swap_fix > 0.0:
         args.workdir += "_swapfix"
+    if args.gap_temporal:
+        args.workdir += "_gaptemporal"
 
     if args.num_vertices:
         # the prediction/eval subprocesses resolve the SAME
@@ -214,7 +228,8 @@ def main():
                            raster_window=args.raster_window,
                            lagged_decay=args.lagged_decay,
                            gap_interp=args.gap_interp,
-                           swap_fix=args.swap_fix)
+                           swap_fix=args.swap_fix,
+                           gap_temporal=args.gap_temporal)
 
     from predict_mupots_sweep import build_commands, run_sweep
     cmds = build_commands(ts_ids, cfg_path, out_path)
@@ -240,6 +255,7 @@ def main():
         "lagged_decay": args.lagged_decay,
         "gap_interp": args.gap_interp,
         "swap_fix": args.swap_fix,
+        "gap_temporal": args.gap_temporal,
         "avg": {k: v[-1] for k, v in final.items()},
         "per_ts": {k: v[:-1] for k, v in final.items()
                    if k in ("pck_rel", "mm_rel_error")},

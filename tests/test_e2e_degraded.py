@@ -178,6 +178,10 @@ def test_degraded_predict_eval_completes(degraded_tree,
             # degraded tree's dropout/leave spans guarantee stale
             # frames, so the hook must fire and stay finite
             "gap_interpolate": True,
+            # and the gap-aware temporal losses DURING the fit
+            # (EngineConfig.gap_aware_temporal): the same stale spans
+            # engage the 2-frame-halo acceleration stencil
+            "gap_aware_temporal": True,
         },
         "smpl": {"smpl_model_parameters_path": "/nonexistent-synthetic"},
         "data": {

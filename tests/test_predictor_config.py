@@ -220,6 +220,70 @@ def test_predictor_fit_shards_over_mesh(tmp_path, capsys):
     assert 0.0 <= on_disk["window_clip_rate"] <= 1.0
 
 
+def test_gap_aware_temporal_wiring(tiny_smpl, tmp_path):
+    """The gap_aware_temporal knob engages only when requested AND the
+    sequence carries a stale mask; the gap-accel coefficient defaults
+    to the velocity coefficient and honors an explicit override."""
+    seq = _tiny_seq()
+    p = Predictor(seq, tiny_smpl, str(tmp_path), _default_args())
+    assert p.cfg.gap_aware_temporal is False      # parity default
+
+    # knob on, but no stale mask on the sequence -> stays off
+    args_on = _default_args(gap_aware_temporal=True)
+    p = Predictor(seq, tiny_smpl, str(tmp_path), args_on)
+    assert p.cfg.gap_aware_temporal is False
+    assert p.coefs["reg_gap_accel"] == args_on.reg_velocity_coef
+
+    # knob on with a stale mask -> engaged, halo widens to 2
+    import dataclasses
+    lag = np.zeros((seq.pose2d.shape[0], seq.num_people), bool)
+    lag[3:5, 0] = True
+    seq2 = dataclasses.replace(seq, lagged_tn=lag)
+    p = Predictor(seq2, tiny_smpl, str(tmp_path), args_on)
+    assert p.cfg.gap_aware_temporal is True
+    assert p.cfg.halo == 2
+
+    # explicit coefficient override (including zero)
+    p = Predictor(seq2, tiny_smpl, str(tmp_path),
+                  _default_args(gap_aware_temporal=True,
+                                reg_gap_accel_coef=0.0))
+    assert p.coefs["reg_gap_accel"] == 0.0
+
+
+@pytest.mark.slow
+def test_predictor_fit_gap_aware_spmd(tmp_path, capsys):
+    """Full Predictor.run on the 8-device mesh with gap_aware_temporal
+    engaged: the stale mask shards over the time axis, the 2-frame
+    halo cycle compiles and executes, and outputs stay finite."""
+    import dataclasses
+    from mhmocap_tpu.models.synthetic import make_synthetic_smpl
+
+    T, N, side = 16, 2, 32
+    model = make_synthetic_smpl(num_vertices=256, seed=2)
+    rng = np.random.RandomState(3)
+    pose2d = np.zeros((T, N, 17, 3), np.float32)
+    pose2d[..., 0] = side / 2 + 1.5 * rng.randn(T, N, 17)
+    pose2d[..., 1] = side / 2 + 1.5 * rng.randn(T, N, 17)
+    pose2d[..., 2] = 0.9
+    seq = _tiny_seq(T=T, N=N, side=side, pose2d=pose2d)
+    seq.seg_mask[:, :, 8:24, 8:24] = 1.0
+    lag = np.zeros((T, N), bool)
+    lag[5:9, 0] = True                   # straddles 2-frame shards
+    seq = dataclasses.replace(seq, lagged_tn=lag)
+    args = _default_args(batch_size=2, frame_bucket=16, num_iter=3,
+                         raster_window=16, gap_aware_temporal=True)
+    p = Predictor(seq, model, str(tmp_path), args)
+    assert p.use_spmd and p.cfg.gap_aware_temporal
+    out = p.run()
+    assert "sharding 16 frames over 8" in capsys.readouterr().out
+    ov = out["stage1_optvar"]
+    assert np.isfinite(ov["poses_T"]).all()
+    assert np.isfinite(ov["poses_smpl"]).all()
+    # the gap-accel part was computed and logged finite
+    assert all(np.isfinite(row["reg_gap_accel"])
+               for row in out["stage1_log"])
+
+
 def test_window_guard_grows_for_large_person(tiny_smpl, tmp_path):
     """A person taller than the requested window must grow the window
     instead of silently clipping supervision (reference rasterizes the
