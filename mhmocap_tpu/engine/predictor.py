@@ -463,6 +463,10 @@ class Predictor:
                 params = S.shard_params(params, mesh)
                 data = S.shard_data(data, mesh)
                 aux = S.shard_aux(aux, mesh)
+                # commit the optimizer state to the mesh as well: a
+                # checkpoint restore targets these CONCRETE shardings
+                # (test_checkpoint_resume_under_spmd)
+                opt_state = S.shard_opt_state(opt_state, mesh)
                 print(f"fit: sharding {cfg.padded_frames} frames over "
                       f"{n_dev} devices")
 
