@@ -57,6 +57,7 @@ def generate_sequence(
     mupots_gt: bool = False,
     track_dropout: float = 0.0,
     degradations: Optional[dict] = None,
+    motion: Optional[dict] = None,
 ):
     """Write a synthetic sequence tree under `root`.
 
@@ -98,6 +99,22 @@ def generate_sequence(
       low-visibility handling and per-frame validity gating without
       tripping the 1/8 min-visibility person drop,
       datautils.py:450-456).
+
+    `motion` (default None = the standard clean kinematics) hardens
+    the CLEAN tier without corrupting any input channel — the inputs
+    stay noise-free, the TASK gets harder (round-4 verdict weak #4:
+    a saturated 98.8-pck proxy cannot catch sub-point regressions):
+
+    * ``speed`` (float, default 1.0): multiplies the temporal
+      frequency of the trajectory sinusoids and the limb wave —
+      larger inter-frame displacement stresses the velocity/
+      filtered-verts regularizers' smoothing bias.
+    * ``amp`` (float, default 1.0): multiplies the x/z drift
+      amplitudes.
+    * ``close_pair`` (bool): persons 0 and 1 weave within ~0.5 m at
+      nearly equal depth, so their masks overlap for most of the
+      sequence (combine with ``degradations={'occlusion_conf': True}``
+      for detector-realistic confidences on the occluded joints).
     """
     import jax.numpy as jnp
     from PIL import Image
@@ -126,6 +143,11 @@ def generate_sequence(
         rng.choice(num_frames, size=n_missing, replace=False).tolist()
         if n_missing else [])
 
+    mot = dict(motion or {})
+    speed = float(mot.get("speed", 1.0))
+    amp = float(mot.get("amp", 1.0))
+    close_pair = bool(mot.get("close_pair", False))
+
     T, N = num_frames, num_people
     # Ground-truth trajectories: people at different depths drifting
     poses_T = np.zeros((T, N, 1, 3), np.float32)
@@ -133,15 +155,24 @@ def generate_sequence(
     for n in range(N):
         z0 = 3.0 + 1.5 * n
         x0 = -0.8 + 1.6 * n / max(N - 1, 1)
-        if deg.get("crossing_paths"):
+        if close_pair and n < 2:
+            # persons 0/1 weave within ~0.5 m at nearly equal depth:
+            # persistent mask overlap with alternating z order
+            z0 = 3.0 + 0.25 * n
+            x0 = -0.25 + 0.5 * n
+            poses_T[:, n, 0, 0] = x0 + (1 - 2 * n) * 0.3 * np.sin(
+                2 * np.pi * speed * tt)
+        elif deg.get("crossing_paths"):
             # swap sides over the sequence: projections cross near the
             # midpoint, the nearer person occluding the farther one
             poses_T[:, n, 0, 0] = x0 + (-2 * x0) * tt \
-                + 0.1 * np.sin(2 * np.pi * tt + n)
+                + 0.1 * amp * np.sin(2 * np.pi * speed * tt + n)
         else:
-            poses_T[:, n, 0, 0] = x0 + 0.3 * np.sin(2 * np.pi * tt + n)
+            poses_T[:, n, 0, 0] = x0 + 0.3 * amp * np.sin(
+                2 * np.pi * speed * tt + n)
         poses_T[:, n, 0, 1] = 0.35  # pelvis height above origin
-        poses_T[:, n, 0, 2] = z0 + 0.4 * np.cos(2 * np.pi * tt + n)
+        poses_T[:, n, 0, 2] = z0 + 0.4 * amp * np.cos(
+            2 * np.pi * speed * tt + n)
     if deg.get("enter_leave"):
         # person 0 walks out of the frustum and back: a smooth x bump
         # over ~15% of the frames mid-sequence (at z ~= 3 the FOV-60
@@ -161,7 +192,7 @@ def generate_sequence(
     # wave arms / legs
     for n in range(N):
         phase = rng.rand() * np.pi
-        sw = np.sin(np.linspace(0, 4 * np.pi, T) + phase)
+        sw = np.sin(np.linspace(0, 4 * np.pi * speed, T) + phase)
         poses_smpl[:, n, 18 * 3 + 1] = -0.8 * sw
         poses_smpl[:, n, 19 * 3 + 1] = 0.8 * sw
         poses_smpl[:, n, 4 * 3] = 0.4 * sw

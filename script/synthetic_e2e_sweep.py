@@ -103,6 +103,73 @@ def degradation_plan(ts_id: int, frames: int) -> dict:
     return plans[1 + (ts_id - 1) % 5]
 
 
+def hard_clean_plan(k: int) -> dict:
+    """Harder CLEAN sequences (round-4 verdict weak #4): the inputs
+    stay noise-free but the task is harder, so the clean proxy can
+    move below its 98.8-pck saturation and catch sub-point
+    regressions. Two scenarios, cycled:
+
+    * fast: 2.5x motion frequency + 1.6x drift amplitude — larger
+      inter-frame displacement stresses the temporal regularizers'
+      smoothing bias;
+    * close: two people weaving within ~0.5 m at near-equal depth
+      with detector-realistic (depth-tested) joint confidences —
+      persistent mutual occlusion stresses the occlusion-ordered
+      silhouette/depth terms and the assignment.
+    """
+    plans = [
+        {"motion": {"speed": 2.5, "amp": 1.6}, "num_people": 3,
+         "degradations": None},
+        {"motion": {"close_pair": True, "speed": 1.5}, "num_people": 2,
+         "degradations": {"occlusion_conf": True}},
+    ]
+    return plans[k % 2]
+
+
+# Pinned per-tier accuracy bounds (--assert_bounds): the sweep exits
+# non-zero on violation so accuracy regressions fail loud instead of
+# drifting (round-4 verdict weak #4: mm_rel moved 40.3 -> 47.2 across
+# perf rounds with nothing asserting it stops). Values are the
+# measured round-4/5 state plus slack ~ the bench's observed run-to-
+# run dispersion; see docs/PARITY.md section 4.
+BOUNDS = {
+    # standard clean tier (TS1..TS5 defaults, no knobs)
+    "clean": {"pck_rel": (">=", 98.5), "mm_rel_error": ("<=", 48.0)},
+    # harder clean scenarios (--hard_clean), measured round 5
+    "hard": {"pck_rel": (">=", 88.0), "mm_rel_error": ("<=", 75.0)},
+    # degraded tier under the robust profile knobs
+    "robust": {"pck_rel": (">=", 95.0), "abs_jitter": ("<=", 31.0)},
+}
+
+
+def check_bounds(final, n_std, n_hard, degraded, robust):
+    """Evaluate the pinned BOUNDS against a FinalResults dict.
+
+    `final` maps metric -> [TS1..TSn, instance-weighted Avg]; bounds
+    average UNWEIGHTED over the tier's sequences (a pinned regression
+    bound, not the headline metric). Returns (n_checks, violations).
+    """
+    def _avg(key, lo, hi):
+        return float(np.mean(final[key][lo:hi]))
+
+    checks = []   # (tier, key, op, bound, value)
+    if not degraded:
+        for key, (op, b) in BOUNDS["clean"].items():
+            checks.append(("clean", key, op, b, _avg(key, 0, n_std)))
+        if n_hard:
+            for key, (op, b) in BOUNDS["hard"].items():
+                checks.append(("hard", key, op, b,
+                               _avg(key, n_std, n_std + n_hard)))
+    elif robust:
+        for key, (op, b) in BOUNDS["robust"].items():
+            checks.append(("robust", key, op, b, _avg(key, 0, n_std)))
+    violations = [
+        f"{tier} {key}={v:.2f} violates {op} {b}"
+        for tier, key, op, b, v in checks
+        if ((v < b) if op == ">=" else (v > b))]
+    return len(checks), violations
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/mupots_synth")
@@ -149,6 +216,18 @@ def main():
                          "interpolate instead of freezing — treats "
                          "the flanking-observed-frame jitter the "
                          "post-fit passes cannot touch")
+    ap.add_argument("--hard_clean", type=int, default=0,
+                    help="append N harder CLEAN sequences (fast "
+                         "motion / close interactions, cycled — see "
+                         "hard_clean_plan) after the standard ones, "
+                         "reported separately in hard_per_ts")
+    ap.add_argument("--assert_bounds", action="store_true",
+                    help="assert the pinned per-tier accuracy bounds "
+                         "(BOUNDS) and exit non-zero on violation: "
+                         "clean avg over the standard sequences, hard "
+                         "avg over --hard_clean ones, robust bounds "
+                         "when --degraded runs with the robust-profile "
+                         "knobs")
     ap.add_argument("--swap_fix", type=float, default=0.0,
                     help="id_swap_fix ingestion knob (default 0.0 = "
                          "reference parity; e.g. 0.5 corrects "
@@ -200,7 +279,13 @@ def main():
     log_dir = os.path.join(args.workdir, "logs")
     os.makedirs(data_path, exist_ok=True)
 
+    if args.hard_clean:
+        args.workdir += "_hard"
+        if args.degraded:
+            sys.exit("--hard_clean is a CLEAN-tier extension")
     ts_ids = list(range(1, args.num_seqs + 1))
+    hard_ids = list(range(args.num_seqs + 1,
+                          args.num_seqs + 1 + args.hard_clean))
 
     if not args.skip_generate:
         from mhmocap_tpu.data.synthetic import generate_sequence
@@ -222,6 +307,18 @@ def main():
             print(f"generated TS{i}"
                   + (" (degraded)" if args.degraded else ""),
                   flush=True)
+        for k, i in enumerate(hard_ids):
+            plan = hard_clean_plan(k)
+            generate_sequence(
+                os.path.join(data_path, f"TS{i}"),
+                num_frames=args.frames,
+                num_people=plan["num_people"],
+                image_size=(args.image_size, args.image_size),
+                model=model, seed=7 + i, mupots_gt=True,
+                motion=plan["motion"],
+                degradations=plan["degradations"])
+            print(f"generated TS{i} (hard clean)", flush=True)
+    ts_ids += hard_ids
 
     cfg_path = make_config(os.path.join(args.workdir, "predict.yml"),
                            data_path, args.num_iter,
@@ -246,7 +343,8 @@ def main():
     with open(os.path.join(out_path, "FinalResults.json")) as f:
         final = json.load(f)["final_results"]
     # each metric's list is [TS1..TSn, instance-weighted Avg.]
-    print(json.dumps({
+    n_std = args.num_seqs
+    out_json = {
         "metric": "synthetic_e2e_sweep"
                   + ("_degraded" if args.degraded else ""),
         "sequences": args.num_seqs,
@@ -257,9 +355,23 @@ def main():
         "swap_fix": args.swap_fix,
         "gap_temporal": args.gap_temporal,
         "avg": {k: v[-1] for k, v in final.items()},
-        "per_ts": {k: v[:-1] for k, v in final.items()
+        "per_ts": {k: v[:n_std] for k, v in final.items()
                    if k in ("pck_rel", "mm_rel_error")},
-    }))
+    }
+    if args.hard_clean:
+        out_json["hard_per_ts"] = {
+            k: v[n_std:-1] for k, v in final.items()
+            if k in ("pck_rel", "mm_rel_error")}
+    print(json.dumps(out_json))
+
+    if args.assert_bounds:
+        n_checks, violations = check_bounds(
+            final, n_std, args.hard_clean, degraded=args.degraded,
+            robust=args.swap_fix > 0.0 and args.gap_temporal)
+        if violations:
+            print(json.dumps({"bounds_violations": violations}))
+            sys.exit(2)
+        print(f"bounds OK ({n_checks} checks)")
 
 
 if __name__ == "__main__":

@@ -90,6 +90,93 @@ def test_synthetic_e2e_sweep_script_smoke(tmp_path):
     assert 0.0 <= res["avg"]["pck_rel"] <= 100.0
 
 
+def test_check_bounds_pins_each_tier():
+    """The pinned accuracy bounds (round-4 verdict weak #4) must fail
+    LOUD: below-floor pck or above-ceiling mm_rel/jitter in the tier
+    average produces a violation string; passing values produce none.
+    Hard-clean sequences are bounded separately from the standard
+    clean ones, and degraded runs are only checked under the robust
+    knobs."""
+    import synthetic_e2e_sweep as S
+
+    def final(pck, mm, jit=10.0):
+        # per-TS lists + trailing instance-weighted Avg (ignored)
+        return {"pck_rel": pck + [0.0], "mm_rel_error": mm + [0.0],
+                "abs_jitter": [jit] * len(pck) + [0.0]}
+
+    # clean tier, all good
+    n, v = S.check_bounds(final([99.0, 98.6], [40.0, 45.0]),
+                          n_std=2, n_hard=0, degraded=False,
+                          robust=False)
+    assert n == 2 and v == []
+
+    # clean pck regression caught
+    _, v = S.check_bounds(final([98.0, 98.0], [40.0, 40.0]),
+                          n_std=2, n_hard=0, degraded=False,
+                          robust=False)
+    assert any("pck_rel" in s and "clean" in s for s in v)
+
+    # mm_rel drift caught (the 40.3 -> 47.2 failure mode, now > 48)
+    _, v = S.check_bounds(final([99.0, 99.0], [49.0, 49.0]),
+                          n_std=2, n_hard=0, degraded=False,
+                          robust=False)
+    assert any("mm_rel_error" in s for s in v)
+
+    # hard sequences bounded separately: std fine, hard pck too low
+    _, v = S.check_bounds(
+        final([99.0, 99.0, 80.0], [40.0, 40.0, 60.0]),
+        n_std=2, n_hard=1, degraded=False, robust=False)
+    assert any(s.startswith("hard pck_rel") for s in v)
+    assert not any(s.startswith("clean") for s in v)
+
+    # degraded: only the robust-knob runs are pinned
+    n, _ = S.check_bounds(final([90.0], [70.0], jit=50.0),
+                          n_std=1, n_hard=0, degraded=True,
+                          robust=False)
+    assert n == 0
+    _, v = S.check_bounds(final([96.0], [55.0], jit=50.0),
+                          n_std=1, n_hard=0, degraded=True, robust=True)
+    assert any("abs_jitter" in s for s in v)
+
+
+def test_hard_clean_plan_and_motion_kinematics():
+    """hard_clean_plan cycles fast/close scenarios and the generator's
+    `motion` knob actually hardens the kinematics: speed multiplies
+    inter-frame displacement; close_pair keeps persons 0/1 within
+    ~0.6 m laterally at near-equal depth (persistent mask overlap)."""
+    import synthetic_e2e_sweep as S
+    from mhmocap_tpu.data.synthetic import generate_sequence
+    import tempfile
+
+    p0, p1 = S.hard_clean_plan(0), S.hard_clean_plan(1)
+    assert p0["motion"]["speed"] > 1 and p1["motion"]["close_pair"]
+    assert S.hard_clean_plan(2) == p0                   # cycles
+
+    with tempfile.TemporaryDirectory() as d:
+        gt_std = generate_sequence(
+            os.path.join(d, "std"), num_frames=8, num_people=2,
+            image_size=(64, 64), num_vertices=128, seed=11)
+        gt_fast = generate_sequence(
+            os.path.join(d, "fast"), num_frames=8, num_people=2,
+            image_size=(64, 64), num_vertices=128, seed=11,
+            motion=p0["motion"])
+        gt_close = generate_sequence(
+            os.path.join(d, "close"), num_frames=8, num_people=2,
+            image_size=(64, 64), num_vertices=128, seed=11,
+            motion=p1["motion"], degradations=p1["degradations"])
+
+    def disp(gt):
+        pT = gt["poses_T"]
+        return float(np.abs(pT[1:] - pT[:-1]).max())
+
+    assert disp(gt_fast) > 1.5 * disp(gt_std)
+    dx = np.abs(gt_close["poses_T"][:, 0, 0, 0]
+                - gt_close["poses_T"][:, 1, 0, 0])
+    dz = np.abs(gt_close["poses_T"][:, 0, 0, 2]
+                - gt_close["poses_T"][:, 1, 0, 2])
+    assert dx.max() < 1.2 and dz.max() < 0.8
+
+
 def test_degradation_plan_covers_every_mode():
     """--degraded assigns each TS one isolated robustness path, the
     fifth combines them all, and ids past 5 wrap around."""
