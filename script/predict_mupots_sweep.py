@@ -59,6 +59,10 @@ def worker_env(slot: int, platform: str = "tpu") -> dict:
         env["TPU_VISIBLE_DEVICES"] = str(slot)
         env.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
         env.setdefault("TPU_CHIPS_PER_PROCESS_BOUNDS", "1,1,1")
+        # the orchestrating process may run CPU-only (tunnel-outage
+        # hygiene, synthetic_e2e_sweep.py) — its forcing must not
+        # leak into the TPU workers
+        env.pop("JAX_PLATFORMS", None)
     # all workers share one compilation cache: TS sequences bucket to
     # the same padded shapes, so later workers hit the earlier
     # workers' compiles. CPU workers get the host-fingerprinted CPU
@@ -68,20 +72,24 @@ def worker_env(slot: int, platform: str = "tpu") -> dict:
         if REPO not in sys.path:
             sys.path.insert(0, REPO)
         from mhmocap_tpu.cache import cpu_cache_dir
-        env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       cpu_cache_dir(REPO))
+        env["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir(REPO)
     else:
-        env.setdefault("JAX_COMPILATION_CACHE_DIR",
-                       os.path.join(REPO, ".jax_cache"))
+        # OVERRIDE (not setdefault): a CPU-only orchestrator's
+        # host-fingerprinted cache dir must not leak into TPU workers
+        env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+            REPO, ".jax_cache")
     return env
 
 
 def run_sweep(cmds, workers: int, platform: str = "tpu",
               log_dir: str | None = None, retries: int = 0,
-              labels=None):
+              labels=None, job_timeout: float | None = None):
     """Run `cmds` over `workers` pinned slots; returns
     {label: returncode}. A failed command is retried up to `retries`
-    times on the same slot before being recorded as failed."""
+    times on the same slot before being recorded as failed. A job
+    exceeding `job_timeout` seconds is killed and recorded/retried as
+    rc=124 (the remote TPU tunnel has measured indefinite hangs; an
+    unbounded worker turns an outage into a stuck sweep)."""
     labels = labels or [f"job{i}" for i in range(len(cmds))]
     if log_dir:
         os.makedirs(log_dir, exist_ok=True)
@@ -103,10 +111,14 @@ def run_sweep(cmds, workers: int, platform: str = "tpu",
                     log_f = open(os.path.join(log_dir, f"{label}.log"),
                                  "ab")
                 try:
-                    rc = subprocess.run(
-                        cmd, cwd=REPO, env=env, stdout=log_f,
-                        stderr=subprocess.STDOUT if log_f else None,
-                    ).returncode
+                    try:
+                        rc = subprocess.run(
+                            cmd, cwd=REPO, env=env, stdout=log_f,
+                            stderr=subprocess.STDOUT if log_f else None,
+                            timeout=job_timeout,
+                        ).returncode
+                    except subprocess.TimeoutExpired:
+                        rc = 124
                 finally:
                     if log_f:
                         log_f.close()

@@ -253,26 +253,44 @@ def main():
         # downsampled body via the loader's env hook
         os.environ["MHMOCAP_SYNTHETIC_SMPL"] = str(args.num_vertices)
 
-    if args.platform == "cpu":
-        # keep the generation/eval in THIS process off the TPU too:
-        # the container's sitecustomize force-registers the remote
-        # backend, so the env var alone is not enough (conftest.py)
-        os.environ["JAX_PLATFORMS"] = "cpu"
-        # host-fingerprinted CPU cache (stale cross-host CPU AOT
-        # entries SIGABRT on load, mhmocap_tpu/cache.py)
-        from mhmocap_tpu.cache import cpu_cache_dir
-        os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir(REPO)
-        import jax
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    # The MAIN process never touches the TPU: generation and eval are
+    # CPU work, and the remote tunnel's measured multi-hour outages
+    # include INDEFINITE first-dispatch hangs that wait_for_backend's
+    # jax.devices() probe does not catch (one hung a full A/B queue
+    # for 25+ min, round 5). Only the per-TS predict subprocesses use
+    # the chip, each bounded by run_sweep's job timeout + retry.
+    # Generation numerics are platform-stable: the SMPL contraction
+    # runs at Precision.HIGHEST (models/smpl.py), so CPU-generated
+    # trees match the earlier TPU-generated baselines.
+    # (sitecustomize force-registers the remote backend, so the env
+    # var alone is not enough — conftest.py)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # host-fingerprinted CPU cache (stale cross-host CPU AOT
+    # entries SIGABRT on load, mhmocap_tpu/cache.py)
+    from mhmocap_tpu.cache import cpu_cache_dir
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cpu_cache_dir(REPO)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     if args.platform != "cpu":
-        # bound first contact with the remote TPU tunnel (it has
-        # measured multi-hour outages that otherwise hang generation
-        # indefinitely before the first progress line)
-        from mhmocap_tpu.backend import wait_for_backend
-        wait_for_backend()
+        # bounded probe of the remote tunnel in a SUBPROCESS (this
+        # process is CPU-only now): a dead tunnel fails the sweep
+        # fast and loud instead of hanging the first worker
+        import subprocess
+        probe_env = {k: v for k, v in os.environ.items()
+                     if k != "JAX_PLATFORMS"}
+        probe_env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(
+            REPO, ".jax_cache")
+        rc = subprocess.run(
+            [sys.executable, "-c",
+             "from mhmocap_tpu.backend import wait_for_backend; "
+             "print(wait_for_backend(retries=2, wait_s=60))"],
+            cwd=REPO, env=probe_env, timeout=1500).returncode
+        if rc != 0:
+            sys.exit(f"TPU backend probe failed (rc={rc}); "
+                     "tunnel outage — retry later or --platform cpu")
 
     data_path = os.path.join(args.workdir, "data")
     out_path = os.path.join(args.workdir, "out")
@@ -332,7 +350,8 @@ def main():
     cmds = build_commands(ts_ids, cfg_path, out_path)
     results = run_sweep(cmds, workers=args.workers,
                         platform=args.platform, log_dir=log_dir,
-                        labels=[f"TS{i}" for i in ts_ids])
+                        labels=[f"TS{i}" for i in ts_ids],
+                        retries=1, job_timeout=1800)
     if any(rc != 0 for rc in results.values()):
         print(json.dumps({"error": "sweep failures", **results}))
         sys.exit(1)

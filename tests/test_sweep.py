@@ -45,6 +45,32 @@ def test_run_sweep_schedules_all_jobs(tmp_path):
         assert os.path.exists(f"{marker}_{i}")
 
 
+def test_run_sweep_job_timeout_kills_hung_worker():
+    """A worker exceeding job_timeout is killed and recorded as
+    rc=124 instead of hanging the sweep forever (the remote TPU
+    tunnel has measured indefinite hangs)."""
+    import time
+    t0 = time.time()
+    res = sweep.run_sweep(
+        [[sys.executable, "-c", "import time; time.sleep(60)"],
+         [sys.executable, "-c", "pass"]],
+        workers=1, platform="cpu", labels=["hung", "ok"],
+        job_timeout=2.0)
+    assert res == {"hung": 124, "ok": 0}
+    assert time.time() - t0 < 30
+
+
+def test_worker_env_scrubs_cpu_forcing_for_tpu(monkeypatch):
+    """A CPU-only orchestrator (synthetic_e2e_sweep main process)
+    must not leak its JAX_PLATFORMS / host-fingerprinted cache dir
+    into TPU workers."""
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "/tmp/cpu-cache-x")
+    env = sweep.worker_env(1, platform="tpu")
+    assert "JAX_PLATFORMS" not in env
+    assert env["JAX_COMPILATION_CACHE_DIR"].endswith(".jax_cache")
+
+
 def test_run_sweep_reports_failures_and_retries(tmp_path):
     # first attempt fails, the retry succeeds (file-existence toggle)
     flag = tmp_path / "flag"
