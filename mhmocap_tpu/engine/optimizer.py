@@ -610,8 +610,21 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
         stale_h2 = chunk.stale_h                  # (C+2, N)
         pair_obs = 1.0 - jnp.maximum(stale_h2[1:-1], stale_h2[2:])
         pair_w = pair_obs[:, :, None, None]       # (C, N, 1, 1)
+        # release the FABRICATED 2D evidence on stale frames:
+        # ingestion repeats the last detection above the loss
+        # threshold (reference datautils.py:326-333), which pins gap
+        # frames at the frozen anchor — with the pin in place the
+        # acceleration penalty below can only smear it into the
+        # flanking OBSERVED frames (measured: degraded jitter 44.2 →
+        # 49.1 mm before this release). Real evidence stays on: the
+        # depth/silhouette terms read the rendered masks (a person the
+        # detector merely missed is still segmented; a truly absent
+        # person self-gates through seg coverage) and the ROMP SMPL
+        # prior has its own valid_smpl flag.
+        obs_w = (1.0 - stale_h2[2:])[:, :, None, None]   # (C, N, 1, 1)
     else:
         pair_w = jnp.ones((), jnp.float32)
+        obs_w = jnp.ones((), jnp.float32)
 
     verts_abs_h, joints_abs_h = _smpl_bodies(
         model, poses_smpl_h, betas, scale, poses_T_h)
@@ -633,7 +646,7 @@ def _chunk_loss_core(chunk: ChunkInputs, model: SMPLModel,
           else jnp.asarray(cfg.cam_dist_coef))
     proj = project_points(joints_abs, cam_K, dist_coef=kd)
     norm = jnp.asarray([W, H], jnp.float32)
-    w2d = conf_ok * fv[..., None, None]
+    w2d = conf_ok * fv[..., None, None] * obs_w
     jw = _j17_weights(cfg)
     if jw is not None:
         # reference: mask = pose_weights * pose2d_thr_scores applied

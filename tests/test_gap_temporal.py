@@ -21,7 +21,8 @@ from mhmocap_tpu.models.synthetic import make_synthetic_smpl
 from mhmocap_tpu.ops.cameras import intrinsics_from_fov
 
 
-def _problem(T=12, N=2, chunk=4, gap=True, seed=0, stale=None):
+def _problem(T=12, N=2, chunk=4, gap=True, seed=0, stale=None,
+             pose2d_mut=None):
     """Tiny full-pipeline problem with a constructed stale mask."""
     model = make_synthetic_smpl(num_vertices=128, seed=3)
     W = H = 32
@@ -61,6 +62,8 @@ def _problem(T=12, N=2, chunk=4, gap=True, seed=0, stale=None):
     pose2d[..., 0] = 10.0 + 12.0 * np.arange(N)[None, :, None]
     pose2d[..., 1] = 16.0
     pose2d[..., 2] = 0.9
+    if pose2d_mut is not None:
+        pose2d_mut(pose2d)
     seq = SequenceArrays(
         images=np.zeros((T, H, W, 3), np.uint8),
         depths=np.clip(0.5 + 0.1 * rng.randn(T, H, W), 0, 1).astype(
@@ -203,6 +206,31 @@ def test_gap_accel_fixed_point_is_interpolation():
     l_frz, g_frz = accel_only(frozen)
     np.testing.assert_allclose(l_frz, 18.0, rtol=1e-5)
     assert g_frz[6, 0, 0] < -1e-3
+
+
+def test_stale_frames_release_2d_data_term():
+    """With the knob ON, stale frames' 2D keypoints (the repeated
+    anchor ingestion fabricates, reference datautils.py:326-333) must
+    not enter loss_pose: perturbing the 2D evidence on stale frames
+    only leaves the loss untouched, while the same perturbation with
+    the knob OFF moves it. Real evidence (depth/sil/ROMP terms) is
+    NOT released — their parts are identical in both problems by
+    construction here."""
+    stale = np.zeros((12, 2), np.float32)
+    stale[4:7, 1] = 1.0
+
+    def wreck_stale(pose2d):
+        pose2d[4:7, 1, :, :2] += 500.0   # anchor far outside the image
+
+    base_on = _parts(_problem(stale=stale))
+    wrecked_on = _parts(_problem(stale=stale, pose2d_mut=wreck_stale))
+    np.testing.assert_allclose(wrecked_on["loss_pose24j"],
+                               base_on["loss_pose24j"], rtol=1e-6)
+
+    base_off = _parts(_problem(gap=False, stale=stale))
+    wrecked_off = _parts(_problem(gap=False, stale=stale,
+                                  pose2d_mut=wreck_stale))
+    assert wrecked_off["loss_pose24j"] > 10.0 * base_off["loss_pose24j"]
 
 
 def test_spmd_parity_with_stale_halo():
