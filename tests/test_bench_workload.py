@@ -35,6 +35,7 @@ def _bench_args():
         raster_window=bench.WINDOW, spmd=False)
 
 
+@pytest.mark.slow
 def test_bench_workload_config_is_pinned(bench_seq):
     from mhmocap_tpu.engine.predictor import Predictor
 
@@ -73,6 +74,7 @@ def test_bench_workload_config_is_pinned(bench_seq):
     assert cfg.frame_bucket == cfg.chunk
 
 
+@pytest.mark.slow
 def test_bench_workload_visibility(bench_seq):
     """Every person-frame must contribute 2D supervision (occupancy
     matches the MuPoTs working configuration the narrative claims)."""

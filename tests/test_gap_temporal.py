@@ -174,21 +174,28 @@ def test_gap_accel_fixed_point_is_interpolation():
     stale = np.zeros((T, N), np.float32)
     stale[4:7, 0] = 1.0
 
+    # ONE problem + ONE compiled value_and_grad, evaluated at two
+    # trajectories (fast-tier latency: the former per-call _problem +
+    # re-jit paid the compile twice)
+    p = _problem(T=T, N=N, stale=stale, chunk=4)
+    coefs = {k: jnp.float32(0.0) for k in p["coefs"]}
+    coefs["reg_gap_accel"] = jnp.float32(1.0)
+
+    @jax.jit
+    def val_grad(params):
+        def loss_fn(params):
+            l, _ = E._cycle_loss(params, p["model"], p["data"],
+                                 p["aux"], coefs, p["cfg"])
+            return l
+        return jax.value_and_grad(loss_fn)(params)
+
     def accel_only(poses_T_x):
-        p = _problem(T=T, N=N, stale=stale, chunk=4)
         pT = np.asarray(p["params"].poses_T).copy()
         pT[:T, 0, 0, 0] = poses_T_x
         params = p["params"]._replace(
             poses_T=jnp.asarray(pT),
             poses_smpl=jnp.zeros_like(p["params"].poses_smpl))
-        coefs = {k: 0.0 for k in p["coefs"]}
-        coefs["reg_gap_accel"] = 1.0
-
-        def loss_fn(params):
-            l, _ = E._cycle_loss(params, p["model"], p["data"],
-                                 p["aux"], coefs, p["cfg"])
-            return l
-        l, g = jax.value_and_grad(loss_fn)(params)
+        l, g = val_grad(params)
         return float(l), np.asarray(g.poses_T)[:T, 0]
 
     # constant-velocity trajectory THROUGH the gap: zero acceleration

@@ -45,7 +45,13 @@ def test_pallas_matches_brute_triangles():
                                np.asarray(o_ref["sil"]), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pallas_matches_brute_body():
+    # slow tier (round-4 verdict weak #5 fast-tier budget): the
+    # custom-VJP gradient test below stays fast-tier as the default
+    # kernel guard; this full-body forward parity (multi-chunk
+    # schedule, real surface, z-ties) runs under --full, which
+    # CLAUDE.md requires before engine/kernel commits anyway
     # 48 px / 384 verts: same structural coverage (multi-chunk
     # schedule, real body surface, z-buffer ties) at ~2x less
     # interpret-mode cost than the former 64 px / 512-vert shape —
