@@ -383,6 +383,11 @@ class Predictor:
         stage1_optvar["window_clip_rate"] = self.window_clip_rate
         stage1_optvar["raster_windows"] = cfg.person_windows
         stage1_optvar["window_clip_rates"] = self.window_clip_rates
+        # the (T, N) stale-detection mask (ingestion's lagged_tn):
+        # downstream analysis (script/decompose_jitter.py) correlates
+        # per-frame error with detection gaps without re-ingesting
+        if seq.lagged_tn is not None:
+            stage1_optvar["lagged_tn"] = np.asarray(seq.lagged_tn)
         # opt-in detection-dropout gap interpolation (no reference
         # analog; see engine/gapfill.py): replace each unobserved
         # span's trajectory with endpoint interpolation, removing the

@@ -282,6 +282,9 @@ def test_predictor_fit_gap_aware_spmd(tmp_path, capsys):
     # the gap-accel part was computed and logged finite
     assert all(np.isfinite(row["reg_gap_accel"])
                for row in out["stage1_log"])
+    # the stale mask rides into the artifact for downstream analysis
+    # (script/decompose_jitter.py)
+    np.testing.assert_array_equal(ov["lagged_tn"], lag)
 
 
 def test_window_guard_grows_for_large_person(tiny_smpl, tmp_path):

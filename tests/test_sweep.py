@@ -203,6 +203,26 @@ def test_hard_clean_plan_and_motion_kinematics():
     assert dx.max() < 1.2 and dz.max() < 0.8
 
 
+def test_jitter_decomposition_frame_classes():
+    """decompose_jitter classifies frames exactly: stale anywhere ->
+    gap; clear frame adjacent to a gap -> flank (the during-fit smear
+    target class); everything else clear. Per-frame jitter is the
+    masked mean in mm."""
+    import decompose_jitter as D
+
+    stale = np.zeros((8, 2), bool)
+    stale[3:5, 0] = True
+    cls = D.classify_frames(stale)
+    assert cls.tolist() == [0, 0, 2, 1, 1, 2, 0, 0]
+
+    m = {"abs_jitter": np.ones((4, 1, 14), np.float32) * 0.002,
+         "valid_joints": np.ones((4, 1, 14), np.float32)}
+    m["valid_joints"][2] = 0.0          # fully invisible frame
+    jmm = D.frame_jitter_mm(m)
+    np.testing.assert_allclose(jmm[[0, 1, 3]], 2.0, rtol=1e-6)
+    assert jmm[2] == 0.0                 # masked, not NaN
+
+
 def test_degradation_plan_covers_every_mode():
     """--degraded assigns each TS one isolated robustness path, the
     fifth combines them all, and ids past 5 wrap around."""
