@@ -216,6 +216,13 @@ def main():
                          "interpolate instead of freezing — treats "
                          "the flanking-observed-frame jitter the "
                          "post-fit passes cannot touch")
+    ap.add_argument("--job_timeout", type=float, default=1800,
+                    help="per-TS worker timeout in seconds (kill + "
+                         "one retry; raise it when a knob combination "
+                         "changes the raster window shapes — a cold "
+                         "remote compile through the tunnel can "
+                         "exceed 30 min, and a killed compile caches "
+                         "nothing)")
     ap.add_argument("--hard_clean", type=int, default=0,
                     help="append N harder CLEAN sequences (fast "
                          "motion / close interactions, cycled — see "
@@ -351,7 +358,7 @@ def main():
     results = run_sweep(cmds, workers=args.workers,
                         platform=args.platform, log_dir=log_dir,
                         labels=[f"TS{i}" for i in ts_ids],
-                        retries=1, job_timeout=1800)
+                        retries=1, job_timeout=args.job_timeout)
     if any(rc != 0 for rc in results.values()):
         print(json.dumps({"error": "sweep failures", **results}))
         sys.exit(1)
