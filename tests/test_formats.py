@@ -229,11 +229,13 @@ def test_alphapose_json_contract(tmp_path):
 
 def test_shipped_configs_parse_through_loader():
     """Every configs/*.yml must parse through the real argparse+YAML
-    merge (config.py parity loader); the robust profile must land its
-    three degraded-input knobs where the entry points read them (ARGS
-    attribute for gap_interpolate, data group for the two ingestion
-    knobs), and the reference-parity profile must leave all three at
-    their off defaults."""
+    merge (config.py parity loader); the round-5 robust profile must
+    land its two degraded-input knobs where the entry points read
+    them (ARGS attribute for gap_aware_temporal, data group for the
+    ingestion knob) — the measured A/B retired lagged_conf_decay and
+    gap_interpolate from the bundle (docs/PARITY.md section 5) — and
+    the reference-parity profile must leave every knob at its off
+    default."""
     import glob as _glob
     from mhmocap_tpu.config import PROJECT_DIR, parse_args
 
@@ -246,9 +248,10 @@ def test_shipped_configs_parse_through_loader():
     robust = parse_args(["--configs_yml",
                          os.path.join(PROJECT_DIR, "configs",
                                       "predict_mupots_robust.yml")])
-    assert robust.gap_interpolate is True
-    assert robust.data["lagged_conf_decay"] == 0.8
+    assert robust.gap_aware_temporal is True
     assert robust.data["id_swap_fix"] == 0.5
+    assert getattr(robust, "gap_interpolate", False) is False
+    assert "lagged_conf_decay" not in robust.data
 
     parity = parse_args(["--configs_yml",
                          os.path.join(PROJECT_DIR, "configs",
