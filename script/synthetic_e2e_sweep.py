@@ -255,6 +255,10 @@ def main():
         args.workdir += "_swapfix"
     if args.gap_temporal:
         args.workdir += "_gaptemporal"
+    if args.hard_clean:
+        if args.degraded:
+            sys.exit("--hard_clean is a CLEAN-tier extension")
+        args.workdir += "_hard"
 
     if args.num_vertices:
         # the prediction/eval subprocesses resolve the SAME
@@ -305,10 +309,6 @@ def main():
     log_dir = os.path.join(args.workdir, "logs")
     os.makedirs(data_path, exist_ok=True)
 
-    if args.hard_clean:
-        args.workdir += "_hard"
-        if args.degraded:
-            sys.exit("--hard_clean is a CLEAN-tier extension")
     ts_ids = list(range(1, args.num_seqs + 1))
     hard_ids = list(range(args.num_seqs + 1,
                           args.num_seqs + 1 + args.hard_clean))
