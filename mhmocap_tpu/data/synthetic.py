@@ -156,11 +156,14 @@ def generate_sequence(
         z0 = 3.0 + 1.5 * n
         x0 = -0.8 + 1.6 * n / max(N - 1, 1)
         if close_pair and n < 2:
-            # persons 0/1 weave within ~0.5 m at nearly equal depth:
-            # persistent mask overlap with alternating z order
-            z0 = 3.0 + 0.25 * n
+            # persons 0/1 weave within ~0.5 m at NEAR-EQUAL depth
+            # (0.1 m offset: deep mutual occlusion with ambiguous z
+            # order — the first 0.25 m/0.3-amp version measured
+            # pck 99.3, not discriminative): persistent mask overlap,
+            # crossing projections every half period
+            z0 = 3.0 + 0.1 * n
             x0 = -0.25 + 0.5 * n
-            poses_T[:, n, 0, 0] = x0 + (1 - 2 * n) * 0.3 * np.sin(
+            poses_T[:, n, 0, 0] = x0 + (1 - 2 * n) * 0.4 * np.sin(
                 2 * np.pi * speed * tt)
         elif deg.get("crossing_paths"):
             # swap sides over the sequence: projections cross near the

@@ -135,8 +135,13 @@ def hard_clean_plan(k: int) -> dict:
 BOUNDS = {
     # standard clean tier (TS1..TS5 defaults, no knobs)
     "clean": {"pck_rel": (">=", 98.5), "mm_rel_error": ("<=", 48.0)},
-    # harder clean scenarios (--hard_clean), measured round 5
-    "hard": {"pck_rel": (">=", 88.0), "mm_rel_error": ("<=", 75.0)},
+    # harder clean scenarios (--hard_clean), measured round 5 on the
+    # real chip: fast-motion pck 89.5 / mm_rel 71.4 (the
+    # discriminative sequence), close-pair 99.5 / 24.3 (the engine's
+    # occlusion-ordered losses SATURATE this one even at 0.1 m depth
+    # offset — a measured strength, kept as a regression canary);
+    # bounds pin the 2-seq average 94.5 / 47.9 with ~3-pt slack
+    "hard": {"pck_rel": (">=", 91.5), "mm_rel_error": ("<=", 58.0)},
     # degraded tier under the robust profile knobs (round-5 bundle
     # swap_fix 0.5 + gap_aware_temporal measured 97.13 / 28.09)
     "robust": {"pck_rel": (">=", 96.5), "abs_jitter": ("<=", 30.0)},

@@ -51,16 +51,27 @@ def pytest_addoption(parser):
         "--full", action="store_true", default=False,
         help="also run tests marked 'slow' (full tier; default runs "
              "the fast tier only)")
+    parser.addoption(
+        "--isolated-in-proc", action="store_true", default=False,
+        help="internal: run tests marked 'isolated' directly in this "
+             "process (used by the test_spmd_isolated.py subprocess; "
+             "see that module's docstring for why they cannot share a "
+             "long-lived pytest process)")
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--full"):
-        return
-    skip = pytest.mark.skip(
+    full = config.getoption("--full")
+    in_proc = config.getoption("--isolated-in-proc")
+    skip_slow = pytest.mark.skip(
         reason="slow tier: pass --full to include")
+    skip_iso = pytest.mark.skip(
+        reason="runs in the test_spmd_isolated.py subprocess "
+               "(pass --isolated-in-proc to force in-process)")
     for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+        if not full and "slow" in item.keywords:
+            item.add_marker(skip_slow)
+        elif "isolated" in item.keywords and not in_proc:
+            item.add_marker(skip_iso)
 
 
 @pytest.fixture(scope="session")

@@ -441,6 +441,7 @@ def test_checkpoint_resume_mid_stage(tmp_path, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_checkpoint_resume_under_spmd(tmp_path, capsys):
     """Checkpoint/resume on the 8-device time mesh (round-4 verdict
     weak #3): the orbax restore runs AFTER params/opt_state are

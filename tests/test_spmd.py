@@ -111,6 +111,7 @@ def test_spmd_loss_matches_single_device(spmd_problem):
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_spmd_cycle_step_matches_single_device(spmd_problem):
     p = spmd_problem
     mesh = spmd.make_mesh()
@@ -140,6 +141,7 @@ def test_spmd_cycle_step_matches_single_device(spmd_problem):
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_spmd_multiple_steps_descend(spmd_problem):
     p = spmd_problem
     mesh = spmd.make_mesh()
@@ -160,6 +162,7 @@ def test_spmd_multiple_steps_descend(spmd_problem):
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_spmd_fused_cycle_matches_single_device(spmd_problem):
     """The ONE-program-per-cycle production path: running the fused
     sharded cycle across the warmup boundary (scene rebuild + filter
@@ -222,6 +225,7 @@ def test_spmd_fused_cycle_matches_single_device(spmd_problem):
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_spmd_warm_aux_cycle_matches_single_device(spmd_problem):
     """Post-warmup parity: with a REAL scene point cloud and filtered
     vertex targets engaged (have_scene=1, have_filters=1), the sharded
@@ -265,6 +269,7 @@ def test_spmd_warm_aux_cycle_matches_single_device(spmd_problem):
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_spmd_multi_cycle_scan_matches_cycle_loop(spmd_problem):
     """spmd_stage1_cycles_fused (K sharded cycles per dispatch) must
     reproduce K sequential spmd_stage1_cycle_fused calls exactly,

@@ -31,7 +31,7 @@ from mhmocap_tpu.models.synthetic import make_synthetic_smpl
 from mhmocap_tpu.models.smpl import smpl_forward
 from mhmocap_tpu.ops.cameras import project_points, intrinsics_from_fov
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.isolated]
 
 
 @pytest.fixture(scope="module",
