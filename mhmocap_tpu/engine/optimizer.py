@@ -1044,7 +1044,8 @@ def stage1_cycles_fused(params: StageParams, opt_state, aux: StageAux,
     """`n_cycles` consecutive PRODUCTION cycles as ONE device program
     (a lax.scan over stage1_cycle_fused's body, cycle indices
     cycle_idx0 + [0, n_cycles)). Losses and log parts come back
-    stacked: (n_cycles,), (n_cycles, 9). Semantically identical to
+    stacked: (n_cycles,), (n_cycles, len(LOG_KEYS)). Semantically
+    identical to
     n_cycles calls of stage1_cycle_fused (verified bitwise on the
     chip) — the refresh cadence conds take the traced per-iteration
     index.

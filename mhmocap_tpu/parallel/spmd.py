@@ -274,7 +274,8 @@ def spmd_stage1_cycles_fused(params, opt_state, aux: E.StageAux,
     """Sharded counterpart of engine.optimizer.stage1_cycles_fused:
     `n_cycles` consecutive production cycles as ONE sharded program (a
     lax.scan over spmd_stage1_cycle_fused's body); K cycles per host
-    dispatch, losses/parts stacked (n_cycles,), (n_cycles, 9).
+    dispatch, losses/parts stacked (n_cycles,), (n_cycles,
+    len(E.LOG_KEYS)).
 
     Same measured caveat as the single-device primitive: steady-state
     launch latency is already hidden by the async host loop (A/B in
