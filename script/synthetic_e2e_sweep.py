@@ -160,8 +160,14 @@ def check_bounds(final, n_std, n_hard, degraded, robust):
 
     checks = []   # (tier, key, op, bound, value)
     if not degraded:
-        for key, (op, b) in BOUNDS["clean"].items():
-            checks.append(("clean", key, op, b, _avg(key, 0, n_std)))
+        # n_std can be 0 (a --num_seqs 0 --hard_clean N run measures
+        # only the hard tier): an empty tier has nothing to pin, and
+        # np.mean([]) is nan — whose comparisons are all False, which
+        # would silently PASS the bound
+        if n_std:
+            for key, (op, b) in BOUNDS["clean"].items():
+                checks.append(("clean", key, op, b,
+                               _avg(key, 0, n_std)))
         if n_hard:
             for key, (op, b) in BOUNDS["hard"].items():
                 checks.append(("hard", key, op, b,

@@ -155,6 +155,14 @@ def test_check_bounds_pins_each_tier():
     assert any(s.startswith("hard pck_rel") for s in v)
     assert not any(s.startswith("clean") for s in v)
 
+    # empty clean tier (--num_seqs 0 --hard_clean N): no nan-mean
+    # sneaking a silent pass — only the hard checks are evaluated
+    n, v = S.check_bounds(final([89.52, 99.52], [71.44, 24.29]),
+                          n_std=0, n_hard=2, degraded=False,
+                          robust=False)
+    assert n == 2 and v == []
+    assert all(np.isfinite(b) for _, (_, b) in S.BOUNDS["hard"].items())
+
     # degraded: only the robust-knob runs are pinned
     n, _ = S.check_bounds(final([90.0], [70.0], jit=50.0),
                           n_std=1, n_hard=0, degraded=True,
